@@ -1,0 +1,180 @@
+"""Conformer encoder/decoder stacks (flax.linen).
+
+Mirrors the reference Conformer MLM encoder
+(espnet/nets/pytorch_backend/conformer/{encoder,encoder_layer,convolution}.py)
+with the shipped A3T settings: macaron feed-forward halves, legacy rel-pos
+self-attention, conv module with BatchNorm, pre-LayerNorm everywhere and a
+final LayerNorm (normalize_before=true).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from a3t_tpu.models.attention import (
+    MultiHeadedAttention,
+    RelPositionMultiHeadedAttention,
+)
+from a3t_tpu.models.layers import (
+    MultiLayeredConv1d,
+    PositionwiseFeedForward,
+    ConvolutionModule,
+    sinusoidal_table,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Conformer stack hyperparameters.
+
+    Defaults follow egs2/vctk/sedit/conf/fsp2_conformer.yaml:26-64 (encoder
+    values; the decoder differs only in cnn_module_kernel=31).
+    """
+
+    attention_dim: int = 384
+    attention_heads: int = 2
+    linear_units: int = 1536
+    num_blocks: int = 4
+    dropout_rate: float = 0.2
+    positional_dropout_rate: float = 0.2
+    attention_dropout_rate: float = 0.2
+    normalize_before: bool = True
+    macaron_style: bool = True
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 7
+    positionwise_layer_type: str = "conv1d"  # "linear" | "conv1d"
+    positionwise_conv_kernel_size: int = 3
+    activation_type: str = "swish"
+    # "legacy_rel_selfattn" (the trained A3T path, see tasks/mlm.py:366-392)
+    # | "rel_selfattn" | "selfattn"
+    selfattention_layer_type: str = "legacy_rel_selfattn"
+
+
+class RelPosEncoding(nn.Module):
+    """x -> (dropout(x * sqrt(d)), dropout(pos_emb)).
+
+    ``legacy=True``: table over reversed positions, length T
+    (embedding.py:133-170).  ``legacy=False``: symmetric 2T-1 table
+    (embedding.py:173-244).
+    """
+
+    d_model: int
+    dropout_rate: float
+    legacy: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        t = x.shape[1]
+        if self.legacy:
+            pe = sinusoidal_table(t, self.d_model, reverse=True)
+        else:
+            pos = sinusoidal_table(t, self.d_model, reverse=False)
+            neg = sinusoidal_table(t, self.d_model, reverse=False)
+            neg[:, 0::2] *= -1.0  # sin(-x) = -sin(x); cos part unchanged
+            pe = np.concatenate([pos[::-1], neg[1:]], axis=0)
+        pos_emb = jnp.asarray(pe)[None].astype(x.dtype)
+        x = x * np.sqrt(self.d_model).astype(np.float32)
+        drop = nn.Dropout(self.dropout_rate)
+        return (
+            drop(x, deterministic=deterministic),
+            drop(pos_emb, deterministic=deterministic),
+        )
+
+
+class AbsPosEncoding(nn.Module):
+    """x -> dropout(x * sqrt(d) + pe) (embedding.py:35-94)."""
+
+    d_model: int
+    dropout_rate: float
+    scaled: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        pe = jnp.asarray(sinusoidal_table(x.shape[1], self.d_model))[None]
+        if self.scaled:
+            alpha = self.param("alpha", nn.initializers.ones, ())
+            x = x + alpha * pe.astype(x.dtype)
+        else:
+            x = x * np.sqrt(self.d_model).astype(np.float32) + pe.astype(x.dtype)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class ConformerBlock(nn.Module):
+    """One Conformer layer (conformer/encoder_layer.py:17-180):
+
+    x += 1/2 ff_macaron(LN(x)); x += attn(LN(x)); x += conv(LN(x));
+    x += 1/2 ff(LN(x)); x = LN(x)
+    """
+
+    config: EncoderConfig
+
+    def _positionwise(self, name: str):
+        c = self.config
+        if c.positionwise_layer_type == "conv1d":
+            return MultiLayeredConv1d(
+                c.linear_units, c.positionwise_conv_kernel_size, c.dropout_rate,
+                name=name,
+            )
+        return PositionwiseFeedForward(
+            c.linear_units, c.dropout_rate, c.activation_type, name=name
+        )
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask, train: bool):
+        c = self.config
+        det = not train
+        drop = nn.Dropout(c.dropout_rate)
+        ff_scale = 0.5 if c.macaron_style else 1.0
+
+        if c.macaron_style:
+            h = nn.LayerNorm(name="norm_ff_macaron")(x)
+            h = self._positionwise("feed_forward_macaron")(h, det)
+            x = x + ff_scale * drop(h, deterministic=det)
+
+        h = nn.LayerNorm(name="norm_mha")(x)
+        if c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):
+            h = RelPositionMultiHeadedAttention(
+                c.attention_heads,
+                c.attention_dropout_rate,
+                legacy=c.selfattention_layer_type == "legacy_rel_selfattn",
+                name="self_attn",
+            )(h, pos_emb, mask, deterministic=det)
+        else:
+            h = MultiHeadedAttention(
+                c.attention_heads, c.attention_dropout_rate, name="self_attn"
+            )(h, h, h, mask, deterministic=det)
+        x = x + drop(h, deterministic=det)
+
+        if c.use_cnn_module:
+            h = nn.LayerNorm(name="norm_conv")(x)
+            h = ConvolutionModule(
+                c.cnn_module_kernel, c.activation_type, name="conv_module"
+            )(h, train)
+            x = x + drop(h, deterministic=det)
+
+        h = nn.LayerNorm(name="norm_ff")(x)
+        h = self._positionwise("feed_forward")(h, det)
+        x = x + ff_scale * drop(h, deterministic=det)
+
+        if c.use_cnn_module:
+            x = nn.LayerNorm(name="norm_final")(x)
+        return x
+
+
+class ConformerStack(nn.Module):
+    """num_blocks ConformerBlocks + optional final LayerNorm."""
+
+    config: EncoderConfig
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask, train: bool):
+        c = self.config
+        for i in range(c.num_blocks):
+            x = ConformerBlock(c, name=f"block_{i}")(x, pos_emb, mask, train)
+        if c.normalize_before:
+            x = nn.LayerNorm(name="after_norm")(x)
+        return x

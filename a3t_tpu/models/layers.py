@@ -1,0 +1,225 @@
+"""Building-block layers shared by the Conformer/Transformer stacks.
+
+Shapes follow the JAX convention (batch, time, channels) throughout; the
+reference's (batch, channels, time) transposes around torch Conv1d
+disappear — XLA lays out convolutions natively.
+
+Numerical semantics mirror the reference modules cited on each class.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch xavier_uniform + zero bias, the reference's `init: xavier_uniform`
+# (espnet2/torch_utils/initialize.py applied via tasks/mlm.py:438-440).
+xavier = nn.initializers.xavier_uniform
+zeros = nn.initializers.zeros
+normal_init = nn.initializers.normal(stddev=1.0)
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "swish": swish,
+    "relu": nn.relu,
+    "gelu": nn.gelu,
+    "tanh": jnp.tanh,
+}
+
+
+def sinusoidal_table(length: int, d_model: int, reverse: bool = False) -> np.ndarray:
+    """Standard sinusoidal positional table (length, d_model).
+
+    ``reverse=True`` reproduces LegacyRelPositionalEncoding
+    (espnet/nets/pytorch_backend/transformer/embedding.py:133-170), whose
+    positions run length-1 .. 0.
+    """
+    if reverse:
+        position = np.arange(length - 1, -1, -1.0, dtype=np.float64)[:, None]
+    else:
+        position = np.arange(length, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((length, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+class PositionwiseFeedForward(nn.Module):
+    """Linear -> activation -> dropout -> Linear
+    (espnet/nets/pytorch_backend/transformer/positionwise_feed_forward.py)."""
+
+    hidden: int
+    dropout_rate: float
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        d = x.shape[-1]
+        h = nn.Dense(self.hidden, kernel_init=xavier(), bias_init=zeros)(x)
+        h = ACTIVATIONS[self.activation](h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(d, kernel_init=xavier(), bias_init=zeros)(h)
+
+
+class MultiLayeredConv1d(nn.Module):
+    """Two same-padded Conv1d with ReLU, FastSpeech-style position-wise layer
+    (espnet/nets/pytorch_backend/transformer/multi_layer_conv.py, activation
+    hard-coded to ReLU)."""
+
+    hidden: int
+    kernel_size: int
+    dropout_rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        d = x.shape[-1]
+        h = nn.Conv(
+            self.hidden,
+            (self.kernel_size,),
+            padding="SAME",
+            kernel_init=xavier(),
+            bias_init=zeros,
+        )(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Conv(
+            d,
+            (self.kernel_size,),
+            padding="SAME",
+            kernel_init=xavier(),
+            bias_init=zeros,
+        )(h)
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module: pointwise(2d)+GLU -> depthwise ->
+    BatchNorm -> activation -> pointwise
+    (espnet/nets/pytorch_backend/conformer/convolution.py:13-79)."""
+
+    kernel_size: int
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        d = x.shape[-1]
+        h = nn.Conv(2 * d, (1,), kernel_init=xavier(), bias_init=zeros)(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        h = a * nn.sigmoid(b)  # GLU over the channel dim
+        h = nn.Conv(
+            d,
+            (self.kernel_size,),
+            padding="SAME",
+            feature_group_count=d,
+            kernel_init=xavier(),
+            bias_init=zeros,
+        )(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5
+        )(h)
+        h = ACTIVATIONS[self.activation](h)
+        return nn.Conv(d, (1,), kernel_init=xavier(), bias_init=zeros)(h)
+
+
+class Postnet(nn.Module):
+    """Tacotron2 postnet: (n_layers-1) x [Conv(k, no bias) -> BN -> tanh ->
+    dropout] + final [Conv -> BN -> dropout], residual added by the caller
+    (espnet/nets/pytorch_backend/tacotron2/decoder.py:150-262)."""
+
+    odim: int
+    n_layers: int = 5
+    n_chans: int = 256
+    n_filts: int = 5
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h = x
+        for _ in range(self.n_layers - 1):
+            h = nn.Conv(
+                self.n_chans,
+                (self.n_filts,),
+                padding="SAME",
+                use_bias=False,
+                kernel_init=xavier(),
+            )(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = jnp.tanh(h)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=not train)
+        h = nn.Conv(
+            self.odim,
+            (self.n_filts,),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=xavier(),
+        )(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=not train)
+        return h
+
+
+class MaskedInput(nn.Module):
+    """Learned mask embedding replacing masked frames:
+    ``where(masked, mask_emb, x)``
+    (espnet2/asr/encoder/mlm_encoder.py:57-70, NewMaskInputLayer)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, masked_position):
+        mask_emb = self.param("mask_feature", normal_init, (1, 1, self.features))
+        m = masked_position[..., None]
+        return jnp.where(m, mask_emb.astype(x.dtype), x)
+
+
+class DurationPredictor(nn.Module):
+    """FastSpeech duration predictor: conv -> relu -> LN -> dropout stack +
+    linear head, log-domain in training / rounded linear at inference
+    (espnet/nets/pytorch_backend/fastspeech/duration_predictor.py:14-113)."""
+
+    n_layers: int = 2
+    n_chans: int = 256
+    kernel_size: int = 3
+    dropout_rate: float = 0.1
+    offset: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None, deterministic: bool = True):
+        h = x
+        for _ in range(self.n_layers):
+            h = nn.Conv(
+                self.n_chans,
+                (self.kernel_size,),
+                padding="SAME",
+                kernel_init=xavier(),
+                bias_init=zeros,
+            )(h)
+            h = nn.relu(h)
+            h = nn.LayerNorm()(h)
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        out = nn.Dense(1, kernel_init=xavier(), bias_init=zeros)(h)[..., 0]
+        if pad_mask is not None:
+            out = jnp.where(pad_mask, 0.0, out)
+        return out
+
+    @staticmethod
+    def to_durations(log_durations, offset: float = 1.0):
+        """Log-domain prediction -> non-negative integer durations."""
+        return jnp.maximum(jnp.round(jnp.exp(log_durations) - offset), 0.0).astype(
+            jnp.int32
+        )
+
+
+def duration_loss(log_pred, target_durations, offset: float = 1.0):
+    """MSE in log domain (fastspeech/duration_predictor.py:116-153)."""
+    t = jnp.log(target_durations.astype(jnp.float32) + offset)
+    return (log_pred - t) ** 2

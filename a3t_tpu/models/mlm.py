@@ -1,0 +1,229 @@
+"""The A3T masked-reconstruction model (TPU-native rebuild).
+
+Equivalent of ``ESPnetMLMEncAsDecoderModel``
+(espnet2/tts/sedit/sedit_model.py:47-375): a dual-embed Conformer encoder
+consumes [masked mel frames ; phoneme tokens] with a shared *segment*
+embedding aligning the two modalities; a second non-causal Conformer stack
+("decoder") refines the concatenated hidden states; the speech slice goes
+through a linear ``sfc`` head and a Tacotron2 postnet; the loss is L1 on
+masked frames, before and after the postnet.
+
+Differences from the reference (deliberate, TPU-first):
+
+* static shapes — callers pad to bucket sizes; masks carry the true lengths;
+* features are computed on-device by ``a3t_tpu.dsp`` inside the same jit,
+  not on CPU in the collate fn;
+* the dead autoregressive decode path (sedit_model.py:285-317, crashes on
+  undefined vars in the reference) is not reproduced; inference is the
+  non-autoregressive teacher-forced pass the published model actually uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from a3t_tpu.models.conformer import ConformerStack, EncoderConfig, RelPosEncoding
+from a3t_tpu.models.layers import (
+    DurationPredictor,
+    MaskedInput,
+    Postnet,
+    normal_init,
+    xavier,
+    zeros,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class A3TModelConfig:
+    """Model hyperparameters (conf/fsp2_conformer.yaml:26-75 defaults)."""
+
+    odim: int = 80  # mel bins
+    vocab_size: int = 100
+    encoder: EncoderConfig = EncoderConfig(cnn_module_kernel=7)
+    decoder: Optional[EncoderConfig] = EncoderConfig(cnn_module_kernel=31)
+    use_segment_emb: bool = True  # input_layer == "sega_mlm"
+    segment_vocab: int = 500
+    postnet_layers: int = 5
+    postnet_chans: int = 256
+    postnet_filts: int = 5
+    # > 0 enables the duration-aware TTS variant (ESPnetMLMTTSModel)
+    duration_predictor_layers: int = 0
+    # Loss settings (sedit_model.py:105-108: MSE only if lsm_weight > 50)
+    use_mse_loss: bool = False
+    mlm_prob: float = 0.8
+    mean_phn_span: int = 8
+
+
+class A3TMLMModel(nn.Module):
+    """Encoder-as-decoder A3T model.
+
+    Inputs (all padded to static shapes):
+        speech:             (B, F, odim) mel features
+        text:               (B, T) int32 phone ids
+        masked_position:    (B, F) bool — frames to reconstruct
+        speech_mask:        (B, F) bool — valid (non-pad) frames
+        text_mask:          (B, T) bool — valid text tokens
+        speech_segment_pos: (B, F) int32 — phone index + 1 per frame (0 = none)
+        text_segment_pos:   (B, T) int32 — phone index + 1 per token
+    """
+
+    config: A3TModelConfig
+
+    def setup(self):
+        c = self.config
+        enc = c.encoder
+        d = enc.attention_dim
+        legacy = enc.selfattention_layer_type == "legacy_rel_selfattn"
+
+        # speech_embed = MaskedInput -> Linear -> LayerNorm -> ReLU -> posenc
+        # (conformer/encoder.py:399-407, mySequential over NewMaskInputLayer)
+        self.speech_masked_input = MaskedInput(c.odim, name="speech_masked_input")
+        self.speech_proj = nn.Dense(d, kernel_init=xavier(), bias_init=zeros,
+                                    name="speech_proj")
+        self.speech_norm = nn.LayerNorm(name="speech_norm")
+        self.speech_posenc = RelPosEncoding(d, enc.positional_dropout_rate,
+                                            legacy=legacy, name="speech_posenc")
+
+        self.text_embed = nn.Embed(c.vocab_size, d, embedding_init=normal_init,
+                                   name="text_embed")
+        self.text_posenc = RelPosEncoding(d, enc.positional_dropout_rate,
+                                          legacy=legacy, name="text_posenc")
+
+        if c.use_segment_emb:
+            self.segment_emb = nn.Embed(c.segment_vocab, d,
+                                        embedding_init=normal_init,
+                                        name="segment_emb")
+
+        self.encoder = ConformerStack(enc, name="encoder")
+        if c.decoder is not None:
+            self.decoder_posenc = RelPosEncoding(
+                d, c.decoder.positional_dropout_rate, legacy=legacy,
+                name="decoder_posenc")
+            self.decoder = ConformerStack(c.decoder, name="decoder")
+
+        self.sfc = nn.Dense(c.odim, kernel_init=xavier(), bias_init=zeros,
+                            name="sfc")
+        if c.postnet_layers > 0:
+            self.postnet = Postnet(
+                c.odim, c.postnet_layers, c.postnet_chans, c.postnet_filts,
+                name="postnet")
+
+        if c.duration_predictor_layers > 0:
+            self.duration_predictor = DurationPredictor(
+                n_layers=c.duration_predictor_layers, name="duration_predictor")
+
+    def encode(
+        self,
+        speech,
+        text,
+        masked_position,
+        speech_mask,
+        text_mask,
+        speech_segment_pos,
+        text_segment_pos,
+        train: bool = False,
+        speech_only: bool = False,
+    ):
+        """Embed both modalities and run the encoder stack.
+
+        Returns ((B, F + T, d) encoder hidden states, (B, 1, F + T) mask).
+        """
+        c = self.config
+        det = not train
+
+        h_speech = self.speech_masked_input(speech, masked_position)
+        h_speech = nn.relu(self.speech_norm(self.speech_proj(h_speech)))
+        h_speech, pos_speech = self.speech_posenc(h_speech, deterministic=det)
+
+        h_text = self.text_embed(text)
+        h_text, pos_text = self.text_posenc(h_text, deterministic=det)
+
+        if c.use_segment_emb:
+            if speech_only:
+                # Reference speech-only branch (conformer/encoder.py:531-537):
+                # the sentinel text token gets segment_emb(0); speech gets none.
+                h_text = h_text + self.segment_emb(jnp.zeros_like(text))
+            else:
+                h_speech = h_speech + self.segment_emb(speech_segment_pos)
+                h_text = h_text + self.segment_emb(text_segment_pos)
+
+        x = jnp.concatenate([h_speech, h_text], axis=1)
+        pos_emb = jnp.concatenate([pos_speech, pos_text], axis=1)
+        mask = jnp.concatenate([speech_mask, text_mask], axis=1)[:, None, :]
+
+        return self.encoder(x, pos_emb, mask, train), mask
+
+    def decode(self, x, mask, train: bool = False):
+        """Refinement ("decoder") stack over the concatenated hidden states.
+
+        MLMDecoder with input_layer=None re-applies scaling + a fresh
+        positional table over the full concatenated length
+        (conformer/encoder.py:568-614, tasks/mlm.py:405-411).
+        """
+        x, pos_full = self.decoder_posenc(x, deterministic=not train)
+        return self.decoder(x, pos_full, mask, train)
+
+    def __call__(
+        self,
+        speech,
+        text,
+        masked_position,
+        speech_mask,
+        text_mask,
+        speech_segment_pos,
+        text_segment_pos,
+        train: bool = False,
+        speech_only: bool = False,
+    ):
+        """Returns (before_outs, after_outs, log_durations).
+
+        ``log_durations`` is None unless the duration-aware TTS variant is
+        configured; it is predicted from the *encoder* output's speech slice
+        (sedit_model.py:420-428), before the decoder stack.
+        """
+        c = self.config
+        n_frames = speech.shape[1]
+        enc_out, mask = self.encode(
+            speech, text, masked_position, speech_mask, text_mask,
+            speech_segment_pos, text_segment_pos, train=train,
+            speech_only=speech_only,
+        )
+        log_durations = None
+        if c.duration_predictor_layers > 0:
+            log_durations = self.duration_predictor(
+                enc_out[:, :n_frames], pad_mask=~speech_mask,
+                deterministic=not train,
+            )
+        hidden = self.decode(enc_out, mask, train) if c.decoder is not None else enc_out
+        speech_hidden = hidden[:, :n_frames]
+        before_outs = self.sfc(speech_hidden)
+        if c.postnet_layers > 0:
+            after_outs = before_outs + self.postnet(before_outs, train)
+        else:
+            after_outs = None
+        return before_outs, after_outs, log_durations
+
+
+def mlm_loss(before_outs, after_outs, target, masked_position, use_mse=False):
+    """Masked reconstruction loss (sedit_model.py:320-340).
+
+    Per-frame L1 (or MSE) summed over the mel dim, before + after postnet,
+    averaged over masked frames only.
+    """
+    if use_mse:
+        err = (before_outs - target) ** 2
+    else:
+        err = jnp.abs(before_outs - target)
+    loss = err.sum(axis=-1)
+    if after_outs is not None:
+        if use_mse:
+            err2 = (after_outs - target) ** 2
+        else:
+            err2 = jnp.abs(after_outs - target)
+        loss = loss + err2.sum(axis=-1)
+    w = masked_position.astype(loss.dtype)
+    return (loss * w).sum() / (w.sum() + 1e-10)

@@ -1,0 +1,149 @@
+"""Model forward/backward/shape tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from a3t_tpu.models import A3TMLMModel, A3TModelConfig, EncoderConfig
+from a3t_tpu.models.attention import legacy_rel_shift
+from a3t_tpu.models.mlm import mlm_loss
+
+
+def tiny_config(**kw):
+    enc = EncoderConfig(
+        attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+        cnn_module_kernel=7, dropout_rate=0.1, positional_dropout_rate=0.1,
+        attention_dropout_rate=0.1,
+    )
+    dec = EncoderConfig(
+        attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+        cnn_module_kernel=7,
+    )
+    defaults = dict(odim=8, vocab_size=20, encoder=enc, decoder=dec,
+                    postnet_layers=2, postnet_chans=16, postnet_filts=5)
+    defaults.update(kw)
+    return A3TModelConfig(**defaults)
+
+
+def make_batch(rng, b=2, f=24, t=6, odim=8):
+    align = np.linspace(0, f, t + 1).astype(np.int32)
+    batch = dict(
+        speech=rng.standard_normal((b, f, odim)).astype(np.float32),
+        text=rng.integers(0, 20, (b, t)).astype(np.int32),
+        masked_position=(rng.random((b, f)) < 0.5),
+        speech_mask=np.ones((b, f), bool),
+        text_mask=np.ones((b, t), bool),
+        speech_segment_pos=np.repeat(
+            np.arange(1, t + 1), np.diff(align)
+        )[None].repeat(b, 0).astype(np.int32),
+        text_segment_pos=np.arange(1, t + 1)[None].repeat(b, 0).astype(np.int32),
+    )
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_legacy_rel_shift_matches_reference_semantics(rng):
+    """Emulate torch's pad/view/slice dance with raw numpy indexing."""
+    b, h, t1, t2 = 1, 2, 5, 5
+    x = rng.standard_normal((b, h, t1, t2)).astype(np.float32)
+    got = np.asarray(legacy_rel_shift(jnp.asarray(x)))
+
+    padded = np.concatenate([np.zeros((b, h, t1, 1), np.float32), x], axis=-1)
+    ref = padded.reshape(b, h, t1 * (t2 + 1))[:, :, t1:].reshape(b, h, t1, t2)
+    # reference: view(b,h,t2+1,t1)[:, :, 1:] == flat[t1:]
+    np.testing.assert_allclose(got, ref)
+
+
+def test_forward_shapes_and_loss(rng):
+    cfg = tiny_config()
+    model = A3TMLMModel(cfg)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False)
+    before, after, log_d = model.apply(variables, **batch, train=False)
+    assert before.shape == (2, 24, 8)
+    assert after.shape == (2, 24, 8)
+    assert log_d is None
+    loss = mlm_loss(before, after, batch["speech"], batch["masked_position"])
+    assert np.isfinite(float(loss))
+
+
+def test_train_mode_runs_with_dropout_and_batchstats(rng):
+    cfg = tiny_config()
+    model = A3TMLMModel(cfg)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False)
+
+    def loss_fn(params):
+        (before, after, _), updates = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            **batch, train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"],
+        )
+        return mlm_loss(before, after, batch["speech"], batch["masked_position"])
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # the mask embedding must receive gradient (it feeds masked frames)
+    g_mask = grads["speech_masked_input"]["mask_feature"]
+    assert np.abs(np.asarray(g_mask)).max() > 0
+
+
+def test_no_decoder_variant(rng):
+    cfg = tiny_config(decoder=None)
+    model = A3TMLMModel(cfg)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False)
+    before, after, _ = model.apply(variables, **batch, train=False)
+    assert before.shape == (2, 24, 8)
+
+
+def test_speech_only_mode(rng):
+    cfg = tiny_config()
+    model = A3TMLMModel(cfg)
+    batch = make_batch(rng, t=1)
+    batch["text"] = jnp.ones_like(batch["text"])  # sentinel token
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False,
+                           speech_only=True)
+    before, _, _ = model.apply(variables, **batch, train=False, speech_only=True)
+    assert before.shape == (2, 24, 8)
+
+
+def test_masked_input_replaces_frames(rng):
+    from a3t_tpu.models.layers import MaskedInput
+
+    layer = MaskedInput(4)
+    x = jnp.asarray(rng.standard_normal((1, 6, 4)).astype(np.float32))
+    mask = jnp.asarray(np.array([[1, 1, 0, 0, 1, 0]], bool))
+    variables = layer.init(jax.random.PRNGKey(0), x, mask)
+    out = layer.apply(variables, x, mask)
+    emb = variables["params"]["mask_feature"][0, 0]
+    np.testing.assert_allclose(out[0, 0], emb)
+    np.testing.assert_allclose(out[0, 2], x[0, 2])
+
+
+def test_mlm_loss_only_counts_masked(rng):
+    b, f, d = 1, 8, 4
+    target = jnp.zeros((b, f, d))
+    pred = jnp.ones((b, f, d))
+    mask = jnp.asarray(np.array([[1, 1, 0, 0, 0, 0, 0, 0]], bool))
+    # L1 per frame = d = 4 (before only)
+    loss = mlm_loss(pred, None, target, mask)
+    np.testing.assert_allclose(float(loss), 4.0, rtol=1e-6)
+    # before + after doubles it
+    loss2 = mlm_loss(pred, pred, target, mask)
+    np.testing.assert_allclose(float(loss2), 8.0, rtol=1e-6)
+
+
+def test_duration_predictor_variant(rng):
+    cfg = tiny_config(duration_predictor_layers=2)
+    model = A3TMLMModel(cfg)
+    batch = make_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False)
+    before, after, log_d = model.apply(variables, **batch, train=False)
+    assert log_d.shape == (2, 24)
+    from a3t_tpu.models.layers import duration_loss
+    dl = duration_loss(log_d, jnp.ones((2, 24), jnp.int32))
+    assert np.isfinite(np.asarray(dl)).all()
