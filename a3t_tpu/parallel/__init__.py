@@ -1,0 +1,15 @@
+from a3t_tpu.parallel.mesh import MeshConfig, make_mesh, batch_sharding
+from a3t_tpu.parallel.sharding import (
+    param_partition_spec,
+    make_param_shardings,
+    shard_variables,
+)
+
+__all__ = [
+    "MeshConfig",
+    "make_mesh",
+    "batch_sharding",
+    "param_partition_spec",
+    "make_param_shardings",
+    "shard_variables",
+]

@@ -1,0 +1,73 @@
+"""Parameter partitioning rules (tensor parallelism + replication).
+
+Rules are expressed over flattened parameter paths, so the model code stays
+free of sharding annotations.  The layout follows the standard Megatron
+split for transformer blocks:
+
+* attention q/k/v projections: shard the *output* (head) dim over ``model``;
+* attention output projection: shard the *input* dim over ``model``;
+* feed-forward up-projection (Dense or Conv1d): shard hidden over ``model``;
+* feed-forward down-projection: shard the input (hidden) dim over ``model``;
+* everything else (norms, embeddings, postnet, mask feature): replicated.
+
+XLA then inserts the psums over ICI that NCCL all-reduces provide in the
+reference's DDP (trainer.py:250-265) — plus the TP collectives the
+reference cannot express at all.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from a3t_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
+def param_partition_spec(path, value) -> P:
+    """PartitionSpec for one parameter, by path name + rank."""
+    name = _path_str(path)
+    ndim = value.ndim
+
+    # Attention projections (Dense kernels are (in, out)).
+    if "self_attn" in name and name.endswith("kernel") and ndim == 2:
+        if any(f"linear_{x}/" in name for x in ("q", "k", "v")) or \
+           "linear_pos/" in name:
+            return P(None, MODEL_AXIS)
+        if "linear_out/" in name:
+            return P(MODEL_AXIS, None)
+
+    # Position-wise feed-forward: Dense (in, out) or Conv (k, in, out).
+    if "feed_forward" in name and name.endswith("kernel"):
+        is_up = "/Dense_0/" in name or "/Conv_0/" in name
+        is_down = "/Dense_1/" in name or "/Conv_1/" in name
+        if ndim == 2:
+            return P(None, MODEL_AXIS) if is_up else (
+                P(MODEL_AXIS, None) if is_down else P())
+        if ndim == 3:
+            return P(None, None, MODEL_AXIS) if is_up else (
+                P(None, MODEL_AXIS, None) if is_down else P())
+
+    return P()
+
+
+def make_param_shardings(mesh: Mesh, params):
+    """Tree of NamedShardings matching ``params``' structure."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, param_partition_spec(path, v)),
+        params,
+    )
+
+
+def shard_variables(mesh: Mesh, variables):
+    """device_put a full variable collection ({params, batch_stats, ...})."""
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, param_partition_spec(path, v)),
+        variables,
+    )
+    return jax.device_put(variables, shardings)

@@ -1,0 +1,17 @@
+from a3t_tpu.train.optim import OptimConfig, noam_schedule, make_optimizer
+from a3t_tpu.train.train_step import TrainState, make_train_step, make_eval_step, create_train_state
+from a3t_tpu.train.reporter import Reporter
+from a3t_tpu.train.trainer import Trainer, TrainerConfig
+
+__all__ = [
+    "OptimConfig",
+    "noam_schedule",
+    "make_optimizer",
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+    "create_train_state",
+    "Reporter",
+    "Trainer",
+    "TrainerConfig",
+]

@@ -1,0 +1,164 @@
+"""The jitted, mesh-sharded A3T training step.
+
+One jit covers the whole hot path of the reference's
+``train_one_epoch`` (espnet2/train/trainer.py:491-693) *plus* the feature
+extraction the reference does on CPU in the collate fn: raw audio enters the
+device, a fused STFT→mel→log front-end produces features, the Conformer MLM
+model computes the masked L1 loss, gradients all-reduce over the ``data``
+mesh axis (XLA psum — the NCCL analogue), and Adam+Noam updates apply.
+
+Batches are dicts of statically-shaped arrays (see data/batcher.py):
+
+    audio              (B, S)   float32   raw waveform, zero-padded
+    audio_lengths      (B,)     int32
+    text               (B, T)   int32     phone ids (0 = pad)
+    text_mask          (B, T)   bool
+    masked_position    (B, F)   bool      F = 1 + S // hop
+    speech_segment_pos (B, F)   int32
+    text_segment_pos   (B, T)   int32
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from a3t_tpu.dsp import LogMelFrontend
+from a3t_tpu.models.mlm import A3TMLMModel, mlm_loss
+from a3t_tpu.models.layers import duration_loss as duration_loss_fn
+from a3t_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def create_train_state(model: A3TMLMModel, tx, sample_batch, rng=None) -> TrainState:
+    """Initialize params/batch_stats from a (host) sample batch."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(rng, **sample_batch, train=False)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )
+
+
+def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True):
+    """Raw-audio batch -> model input batch (all on device, inside jit)."""
+    fe = frontend.fused if use_fused else frontend
+    feats, flens = fe(batch["audio"], batch["audio_lengths"])
+    n_f = feats.shape[1]
+    speech_mask = jnp.arange(n_f)[None, :] < flens[:, None]
+    # Reference multiplies the sampled mask by the non-pad mask
+    # (collate_fn.py:381-382).
+    masked_position = batch["masked_position"] & speech_mask
+    return dict(
+        speech=feats,
+        text=batch["text"],
+        masked_position=masked_position,
+        speech_mask=speech_mask,
+        text_mask=batch["text_mask"],
+        speech_segment_pos=batch["speech_segment_pos"],
+        text_segment_pos=batch["text_segment_pos"],
+    )
+
+
+def make_train_step(
+    model: A3TMLMModel,
+    frontend: Optional[LogMelFrontend],
+    mesh=None,
+    speech_only: bool = False,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+
+    has_duration = model.config.duration_predictor_layers > 0
+
+    def loss_fn(params, batch_stats, batch, rng):
+        mb = featurize(frontend, batch) if frontend is not None else batch
+        (before, after, log_d), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            **mb,
+            train=True,
+            speech_only=speech_only,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss = mlm_loss(
+            before, after, mb["speech"], mb["masked_position"],
+            use_mse=model.config.use_mse_loss,
+        )
+        stats = {"loss_mlm": loss}
+        if has_duration and "durations" in batch:
+            w = mb["masked_position"].astype(jnp.float32)
+            dl = duration_loss_fn(log_d, batch["durations"])
+            dl = (dl * w).sum() / (w.sum() + 1e-10)
+            loss = loss + dl
+            stats["loss_duration"] = dl
+        stats["loss"] = loss
+        stats["masked_frames"] = mb["masked_position"].sum()
+        return loss, (updates["batch_stats"], stats)
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+        stats["grad_norm"] = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, stats
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    bsharding = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, bsharding, replicated(mesh)),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, frontend, mesh=None, speech_only: bool = False):
+    """Validation step (no grads, running batch stats)."""
+
+    def step_fn(state: TrainState, batch: dict):
+        mb = featurize(frontend, batch) if frontend is not None else batch
+        before, after, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            **mb,
+            train=False,
+            speech_only=speech_only,
+        )
+        loss = mlm_loss(
+            before, after, mb["speech"], mb["masked_position"],
+            use_mse=model.config.use_mse_loss,
+        )
+        return {"loss": loss, "loss_mlm": loss}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    return jax.jit(step_fn, in_shardings=(None, batch_sharding(mesh)))

@@ -1,0 +1,87 @@
+"""Benchmark: A3T pretraining throughput in mel-frames/sec/chip.
+
+Runs the full jitted training step (on-device log-mel front-end + Conformer
+MLM model at the shipped A3T size + Adam/Noam update) on the real chip with
+a batch matching the reference's batch_bins=3e6 numel budget
+(fsp2_conformer.yaml:2 — numel = padded mel frames x 80).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is value / REFERENCE_GPU_FRAMES_PER_SEC.  The reference
+repo publishes no throughput numbers (see BASELINE.md), so the denominator
+is an estimate of the reference's per-GPU training rate: batch_bins 3e6
+numel -> 37,500 mel frames per global batch over 8 GPUs; at an optimistic
+1.25 steps/s for the fp32 PyTorch conformer (35-70M params, seq ~500) that
+is ~5,860 frames/sec/GPU.  The >=5x target from BASELINE.json therefore
+corresponds to vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_FRAMES_PER_SEC = 5860.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from a3t_tpu.data import make_synthetic_batch
+    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+    from a3t_tpu.models import A3TMLMModel, A3TModelConfig
+    from a3t_tpu.train import OptimConfig, create_train_state, make_optimizer, make_train_step
+    from a3t_tpu.train.train_step import featurize
+
+    rng = np.random.default_rng(0)
+
+    hop = 300
+    n_frames_target = 432  # ~5.4 s at 24 kHz
+    n_samples = hop * (n_frames_target - 1)
+    batch_size = 88  # ~38k frames ~= reference batch_bins 3e6 / 80
+
+    fe = LogMelFrontend(LogMelConfig())
+    model = A3TMLMModel(A3TModelConfig(vocab_size=80))
+    tx = make_optimizer(OptimConfig())
+
+    host_batch = make_synthetic_batch(
+        rng, batch_size=batch_size, n_samples=n_samples, n_text=64,
+        hop_length=hop, vocab_size=80,
+    )
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    small = {k: v[:2] for k, v in batch.items()}
+    state = create_train_state(model, tx, featurize(fe, small, use_fused=False))
+    step = make_train_step(model, fe)
+
+    key = jax.random.PRNGKey(0)
+    # compile + warmup
+    state, stats = step(state, batch, key)
+    jax.block_until_ready(stats["loss"])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sk = jax.random.split(key)
+        state, stats = step(state, batch, sk)
+    jax.block_until_ready(stats["loss"])
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames = batch_size * (1 + n_samples // hop)
+    frames_per_sec = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pretrain_mel_frames_per_sec_per_chip",
+                "value": round(frames_per_sec, 1),
+                "unit": "mel-frames/sec/chip",
+                "vs_baseline": round(frames_per_sec / REFERENCE_GPU_FRAMES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Train-step / optimizer / sharding / trainer tests on the CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from a3t_tpu.data import make_synthetic_batch
+from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+from a3t_tpu.models import A3TMLMModel, A3TModelConfig, EncoderConfig
+from a3t_tpu.parallel import MeshConfig, make_mesh, shard_variables
+from a3t_tpu.parallel.mesh import batch_sharding
+from a3t_tpu.train import (
+    OptimConfig,
+    Trainer,
+    TrainerConfig,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    noam_schedule,
+)
+from a3t_tpu.train.checkpoint import CheckpointManager
+from a3t_tpu.train.train_step import featurize
+
+
+HOP = 64
+
+
+def tiny_model():
+    enc = EncoderConfig(attention_dim=32, attention_heads=2, linear_units=64,
+                        num_blocks=1, cnn_module_kernel=7)
+    return A3TMLMModel(A3TModelConfig(
+        odim=20, vocab_size=30, encoder=enc,
+        decoder=EncoderConfig(attention_dim=32, attention_heads=2,
+                              linear_units=64, num_blocks=1),
+        postnet_layers=2, postnet_chans=16,
+    ))
+
+
+def tiny_frontend():
+    return LogMelFrontend(LogMelConfig(
+        fs=8000, n_fft=256, hop_length=HOP, win_length=256, n_mels=20,
+        fmin=20, fmax=4000,
+    ))
+
+
+def tiny_batch(rng, b=4):
+    return make_synthetic_batch(
+        rng, batch_size=b, n_samples=HOP * 40, n_text=8, hop_length=HOP,
+        vocab_size=30, fs=8000,
+    )
+
+
+def test_noam_schedule_shape():
+    sched = noam_schedule(384, 4000, 1.0)
+    v1 = float(sched(0))
+    v_peak = float(sched(3999))
+    v_late = float(sched(40000))
+    assert v1 < v_peak  # warmup increases
+    assert v_late < v_peak  # decay after warmup
+    np.testing.assert_allclose(v_peak, 384 ** -0.5 * 4000 ** -0.5, rtol=1e-4)
+
+
+def test_featurize_masks_pad_frames(rng):
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    fe = tiny_frontend()
+    mb = featurize(fe, batch, use_fused=False)
+    n_f = mb["speech"].shape[1]
+    flens = np.asarray(batch["audio_lengths"]) // HOP + 1
+    # pad frames are masked out of both speech_mask and masked_position
+    sm = np.asarray(mb["speech_mask"])
+    mp = np.asarray(mb["masked_position"])
+    for i in range(sm.shape[0]):
+        assert sm[i, : flens[i]].all() and not sm[i, flens[i]:].any()
+        assert not mp[i, flens[i]:].any()
+
+
+def test_train_step_reduces_loss(rng):
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(lr=1.0, model_size=32, warmup_steps=20))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    sample = featurize(fe, batch, use_fused=False)
+    state = create_train_state(model, tx, sample)
+    step = make_train_step(model, fe, donate=False)
+
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        key, sk = jax.random.split(key)
+        state, stats = step(state, batch, sk)
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[::6]
+    assert int(state.step) == 30
+
+
+def test_sharded_train_step_runs(rng):
+    mesh = make_mesh(MeshConfig(data_parallel=4, tensor_parallel=2))
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=20))
+    batch_np = tiny_batch(rng, b=8)
+    batch = jax.device_put(
+        {k: jnp.asarray(v) for k, v in batch_np.items()}, batch_sharding(mesh)
+    )
+    sample = featurize(fe, jax.device_put(
+        {k: jnp.asarray(v) for k, v in batch_np.items()}), use_fused=False)
+    state = create_train_state(model, tx, sample)
+    # shard params per the TP rules
+    state = state.replace(
+        params=shard_variables(mesh, state.params),
+        opt_state=jax.device_put(state.opt_state),
+    )
+    step = make_train_step(model, fe, mesh=mesh, donate=False)
+    state, stats = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(stats["loss"]))
+    # FF up-projection kernel must actually be sharded over the model axis
+    k = state.params["encoder"]["block_0"]["feed_forward"]["Conv_0"]["kernel"]
+    spec = k.sharding.spec
+    assert "model" in str(spec)
+
+
+def test_checkpoint_roundtrip_and_nbest(rng, tmp_path):
+    from a3t_tpu.train.reporter import Reporter
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    state = create_train_state(model, tx, featurize(fe, batch, use_fused=False))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep_nbest=2)
+    rep = Reporter()
+    losses = {1: 3.0, 2: 1.0, 3: 2.0, 4: 5.0}
+    for e, loss in losses.items():
+        rep.start_epoch(e)
+        rep.phase("valid").register({"loss": loss})
+        rep.finish_epoch()
+        mgr.save_epoch(e, state.replace(step=jnp.asarray(e)), rep)
+
+    assert mgr.latest_epoch() == 4
+    # n-best pruning keeps epochs 2, 3 (best) + 4 (latest)
+    import os
+    kept = sorted(
+        int(n.split("_")[1]) for n in os.listdir(tmp_path / "ckpt")
+        if n.startswith("epoch_")
+    )
+    assert kept == [2, 3, 4]
+
+    restored = mgr.restore(2, state)
+    assert int(restored.step) == 2
+
+    avg, epochs = mgr.average_nbest(rep, state.params, n=2)
+    assert sorted(epochs) == [2, 3]
+    # averaging identical params is identity
+    np.testing.assert_allclose(
+        np.asarray(avg["sfc"]["kernel"]),
+        np.asarray(state.params["sfc"]["kernel"]), rtol=1e-6,
+    )
+
+
+def test_trainer_end_to_end(rng, tmp_path):
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=20))
+    batch_np = tiny_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    state = create_train_state(model, tx, featurize(fe, batch, use_fused=False))
+
+    def iter_factory(epoch):
+        return [batch] * 3
+
+    cfg = TrainerConfig(max_epoch=2, num_iters_per_epoch=3, log_interval=100,
+                        keep_nbest_models=2, average_nbest_at_end=True)
+    trainer = Trainer(
+        cfg,
+        make_train_step(model, fe, donate=False),
+        make_eval_step(model, fe),
+        iter_factory,
+        iter_factory,
+        CheckpointManager(str(tmp_path / "exp"), keep_nbest=2),
+    )
+    state = trainer.run(state)
+    assert int(state.step) == 6
+    assert trainer.reporter.epoch == 2
+    assert np.isfinite(trainer.reporter.get_value("valid", "loss"))
+
+    # resume: a fresh trainer continues from epoch 3
+    state2 = create_train_state(model, tx, featurize(fe, batch, use_fused=False))
+    cfg2 = TrainerConfig(max_epoch=3, num_iters_per_epoch=3, log_interval=100)
+    trainer2 = Trainer(
+        cfg2,
+        make_train_step(model, fe, donate=False),
+        make_eval_step(model, fe),
+        iter_factory,
+        iter_factory,
+        CheckpointManager(str(tmp_path / "exp"), keep_nbest=2),
+    )
+    state2 = trainer2.run(state2)
+    assert int(state2.step) == 9  # 6 restored + 3 new
