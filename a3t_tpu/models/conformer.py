@@ -57,20 +57,25 @@ class EncoderConfig:
 class RelPosEncoding(nn.Module):
     """x -> (dropout(x * sqrt(d)), dropout(pos_emb)).
 
-    ``legacy=True``: table over reversed positions, length T
-    (embedding.py:133-170).  ``legacy=False``: symmetric 2T-1 table
-    (embedding.py:173-244).
+    ``legacy=True``: the quirky LegacyRelPositionalEncoding semantics
+    (embedding.py:133-170): the reversed sinusoidal table is built over
+    ``max(T, max_len)`` positions at construction and the FIRST T rows are
+    sliced, so row i carries position ``max(T, max_len) - 1 - i`` — NOT
+    ``T - 1 - i``.  Trained reference checkpoints depend on this exact
+    table.  ``legacy=False``: symmetric 2T-1 table (embedding.py:173-244).
     """
 
     d_model: int
     dropout_rate: float
     legacy: bool = True
+    max_len: int = 5000
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         t = x.shape[1]
         if self.legacy:
-            pe = sinusoidal_table(t, self.d_model, reverse=True)
+            length = max(t, self.max_len)
+            pe = sinusoidal_table(length, self.d_model, reverse=True)[:t]
         else:
             pos = sinusoidal_table(t, self.d_model, reverse=False)
             neg = sinusoidal_table(t, self.d_model, reverse=False)
@@ -131,11 +136,11 @@ class ConformerBlock(nn.Module):
         ff_scale = 0.5 if c.macaron_style else 1.0
 
         if c.macaron_style:
-            h = nn.LayerNorm(name="norm_ff_macaron")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_ff_macaron")(x)
             h = self._positionwise("feed_forward_macaron")(h, det)
             x = x + ff_scale * drop(h, deterministic=det)
 
-        h = nn.LayerNorm(name="norm_mha")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
         if c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):
             h = RelPositionMultiHeadedAttention(
                 c.attention_heads,
@@ -150,18 +155,18 @@ class ConformerBlock(nn.Module):
         x = x + drop(h, deterministic=det)
 
         if c.use_cnn_module:
-            h = nn.LayerNorm(name="norm_conv")(x)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
             h = ConvolutionModule(
                 c.cnn_module_kernel, c.activation_type, name="conv_module"
             )(h, train)
             x = x + drop(h, deterministic=det)
 
-        h = nn.LayerNorm(name="norm_ff")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_ff")(x)
         h = self._positionwise("feed_forward")(h, det)
         x = x + ff_scale * drop(h, deterministic=det)
 
         if c.use_cnn_module:
-            x = nn.LayerNorm(name="norm_final")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
         return x
 
 
@@ -176,5 +181,5 @@ class ConformerStack(nn.Module):
         for i in range(c.num_blocks):
             x = ConformerBlock(c, name=f"block_{i}")(x, pos_emb, mask, train)
         if c.normalize_before:
-            x = nn.LayerNorm(name="after_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
         return x

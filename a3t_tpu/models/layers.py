@@ -204,7 +204,7 @@ class DurationPredictor(nn.Module):
                 bias_init=zeros,
             )(h)
             h = nn.relu(h)
-            h = nn.LayerNorm()(h)
+            h = nn.LayerNorm(epsilon=1e-5)(h)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         out = nn.Dense(1, kernel_init=xavier(), bias_init=zeros)(h)[..., 0]
         if pad_mask is not None:

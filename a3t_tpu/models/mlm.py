@@ -84,7 +84,7 @@ class A3TMLMModel(nn.Module):
         self.speech_masked_input = MaskedInput(c.odim, name="speech_masked_input")
         self.speech_proj = nn.Dense(d, kernel_init=xavier(), bias_init=zeros,
                                     name="speech_proj")
-        self.speech_norm = nn.LayerNorm(name="speech_norm")
+        self.speech_norm = nn.LayerNorm(epsilon=1e-5, name="speech_norm")
         self.speech_posenc = RelPosEncoding(d, enc.positional_dropout_rate,
                                             legacy=legacy, name="speech_posenc")
 
