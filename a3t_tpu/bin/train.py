@@ -1,0 +1,51 @@
+"""Training CLI — the espnet2.bin.mlm_train analogue.
+
+    python -m a3t_tpu.bin.train --config configs/a3t_conformer_24k.yaml \
+        --set train_data_dir=dump/raw/tr_no_dev \
+        --set trainer.max_epoch=100
+
+Multi-host: launch one process per host with --coordinator/--num-hosts/
+--host-id (jax.distributed bootstrap; the espnet2.bin.launch analogue is
+just your scheduler's per-host spawn).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="A3T TPU pretraining")
+    parser.add_argument("--config", required=True)
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override config entries, e.g. --set optim.lr=0.5",
+    )
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (multi-host only)")
+    parser.add_argument("--num-hosts", type=int, default=None)
+    parser.add_argument("--host-id", type=int, default=None)
+    parser.add_argument("--log-level", default="INFO")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper()),
+        format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
+    )
+
+    from a3t_tpu.tasks import MLMTask, load_config
+
+    shard = (0, 1)
+    if args.coordinator is not None:
+        from a3t_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(args.coordinator, args.num_hosts, args.host_id)
+        shard = (args.host_id, args.num_hosts)
+
+    cfg = load_config(args.config, args.set)
+    MLMTask.run(cfg, shard=shard)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""Static-shape bucketed batching (the TPU replacement for numel packing).
+
+The reference packs variable-shape batches by total padded numel
+(espnet2/samplers/num_elements_batch_sampler.py:13-110), which would force a
+recompile per shape under XLA.  Here utterances are assigned to a small set
+of frame-length *buckets*; each bucket has fixed (n_samples, n_frames,
+n_text) shapes, and its batch size is derived from the same
+``batch_bins`` budget (numel = frames x n_mels), so the memory footprint
+matches the reference's packing while every batch compiles exactly once per
+bucket.
+
+The batcher also performs the host-side half of the reference collate fn
+(espnet2/train/collate_fn.py:158-287): tokenized text, seconds->frames
+alignment conversion, T5 phone-span masking and segment positions.  The
+(heavy) STFT+mel half runs on-device inside the train step instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from a3t_tpu.data.dataset import A3TDataset
+from a3t_tpu.dsp import LogMelConfig
+from a3t_tpu.masking import phones_masking, segment_positions
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    n_frames: int  # static mel-frame count (includes +1 centered frame)
+    n_samples: int  # static waveform length
+    n_text: int  # static phone-token count
+    batch_size: int
+
+
+@dataclasses.dataclass
+class BatcherConfig:
+    batch_bins: int = 3_000_000  # numel budget (frames x n_mels), yaml:2
+    bucket_frames: Sequence[int] = (256, 512, 768, 1024, 1536)
+    text_pad_multiple: int = 8
+    mlm_prob: float = 0.8
+    mean_phn_span: float = 8.0
+    # epoch-dependent factor: the reference multiplies mlm_prob by 0.8 during
+    # training and 1.0 at inference (espnet2/tasks/mlm.py:281-285)
+    mlm_prob_factor: float = 0.8
+    min_frames: int = 16
+    drop_overlong: bool = True
+    seed: int = 0
+    # round batch sizes up to a multiple of this (the data-parallel degree,
+    # so every device gets an equal slice)
+    batch_multiple: int = 1
+
+
+class BucketBatcher:
+    """Assigns utterances to buckets and assembles static-shape batches."""
+
+    def __init__(
+        self,
+        dataset: A3TDataset,
+        frontend: LogMelConfig,
+        config: BatcherConfig = BatcherConfig(),
+        n_mels: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.fe = frontend
+        self.config = config
+        n_mels = n_mels if n_mels is not None else frontend.n_mels
+
+        hop = frontend.hop_length
+        # Per-utt lengths from wav headers (cheap; the reference reads
+        # collect-stats shape files for the same purpose).
+        self._frames: dict[str, int] = {}
+        self._texts: dict[str, int] = {}
+        for uid in dataset.uids:
+            n = dataset.num_samples(uid)
+            self._frames[uid] = 1 + n // hop
+            self._texts[uid] = dataset.num_phones(uid)
+
+        # Build bucket specs.
+        self.buckets: list[BucketSpec] = []
+        self.bucket_members: list[list[str]] = []
+        bounds = sorted(config.bucket_frames)
+        for bi, bf in enumerate(bounds):
+            lo = bounds[bi - 1] if bi > 0 else config.min_frames
+            members = [
+                u for u in dataset.uids if lo < self._frames[u] <= bf
+            ]
+            if not members:
+                continue
+            max_text = max((self._texts[u] for u in members), default=1)
+            m = config.text_pad_multiple
+            n_text = max(m, ((max_text + m - 1) // m) * m)
+            bs = max(1, config.batch_bins // (bf * n_mels))
+            m = config.batch_multiple
+            bs = max(m, (bs // m) * m)
+            self.buckets.append(
+                BucketSpec(bf, (bf - 1) * hop, n_text, bs))
+            self.bucket_members.append(members)
+
+        n_used = sum(len(m) for m in self.bucket_members)
+        self.n_dropped = len(dataset.uids) - n_used
+
+    # ------------------------------------------------------------------
+    def batch_plan(self, epoch: int, shard: tuple[int, int] = (0, 1)):
+        """List of (bucket_idx, [uids]) for one epoch, seeded + sharded.
+
+        ``shard=(rank, world)`` slices batches round-robin per host, the
+        reference's batches[rank::world] pattern (abs_task.py:1302-1525).
+        """
+        rng = np.random.default_rng(self.config.seed + epoch)
+        plan: list[tuple[int, list[str]]] = []
+        for bi, members in enumerate(self.bucket_members):
+            order = list(members)
+            rng.shuffle(order)
+            bs = self.buckets[bi].batch_size
+            for i in range(0, len(order), bs):
+                chunk = order[i : i + bs]
+                plan.append((bi, chunk))
+        perm = rng.permutation(len(plan))
+        plan = [plan[i] for i in perm]
+        rank, world = shard
+        return plan[rank::world]
+
+    # ------------------------------------------------------------------
+    def make_batch(
+        self,
+        bucket_idx: int,
+        uids: Sequence[str],
+        rng: np.random.Generator,
+        span_boundary: Optional[np.ndarray] = None,
+        pad_to_batch: Optional[int] = None,
+    ) -> dict:
+        """Assemble one host batch with static bucket shapes."""
+        spec = self.buckets[bucket_idx]
+        cfg = self.config
+        b = pad_to_batch if pad_to_batch is not None else spec.batch_size
+        hop = self.fe.hop_length
+
+        audio = np.zeros((b, spec.n_samples), np.float32)
+        audio_lengths = np.zeros(b, np.int32)
+        text = np.zeros((b, spec.n_text), np.int32)
+        text_mask = np.zeros((b, spec.n_text), bool)
+        masked = np.zeros((b, spec.n_frames), bool)
+        ssp = np.zeros((b, spec.n_frames), np.int32)
+        tsp = np.zeros((b, spec.n_text), np.int32)
+
+        for i, uid in enumerate(uids):
+            item = self.dataset[uid]
+            wav = item["audio"][: spec.n_samples]
+            audio[i, : len(wav)] = wav
+            audio_lengths[i] = len(wav)
+            n_f = 1 + len(wav) // hop
+
+            ids = item.get("text_ids")
+            if ids is None:
+                # speech-only: sentinel handled by the task layer
+                t_len = 0
+                starts = ends = np.zeros(0, np.int32)
+            else:
+                ids = ids[: spec.n_text]
+                t_len = len(ids)
+                text[i, :t_len] = ids
+                text_mask[i, :t_len] = True
+                starts = self.fe.seconds_to_frames(item["align_start_sec"])[:t_len]
+                ends = self.fe.seconds_to_frames(item["align_end_sec"])[:t_len]
+                starts = np.minimum(starts, n_f)
+                ends = np.minimum(ends, n_f)
+
+            masked[i] = phones_masking(
+                spec.n_frames, starts, ends, t_len,
+                cfg.mlm_prob * cfg.mlm_prob_factor, cfg.mean_phn_span, rng,
+                span_boundary=span_boundary,
+            )
+            masked[i, n_f:] = False
+            s, t = segment_positions(spec.n_frames, spec.n_text, starts, ends, t_len)
+            ssp[i], tsp[i] = s, t
+
+        # empty slots (batch padding): leave zeros; text_mask all False keeps
+        # them out of attention, masked=False keeps them out of the loss.
+        return dict(
+            audio=audio,
+            audio_lengths=audio_lengths,
+            text=text,
+            text_mask=text_mask,
+            masked_position=masked,
+            speech_segment_pos=ssp,
+            text_segment_pos=tsp,
+        )
+
+    # ------------------------------------------------------------------
+    def epoch_iterator(self, epoch: int, shard: tuple[int, int] = (0, 1)):
+        """Yield host batches for one epoch (reproducibly seeded)."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.config.seed, epoch, 777]))
+        for bi, uids in self.batch_plan(epoch, shard):
+            yield self.make_batch(bi, uids, rng)

@@ -1,0 +1,87 @@
+"""Epoch iterator factories with background prefetch.
+
+The analogue of SequenceIterFactory (espnet2/iterators/sequence_iter_factory.py:27):
+epoch-seeded, reproducible order, optional ``num_iters_per_epoch`` windowing,
+and a one-deep producer thread so host batch assembly overlaps device steps
+(the reference gets this from DataLoader workers).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+from a3t_tpu.data.batcher import BucketBatcher
+
+
+class PrefetchIterator:
+    """Wrap an iterator with a background producer thread."""
+
+    def __init__(self, it: Iterator, depth: int = 2):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._err: Optional[BaseException] = None
+
+        def produce():
+            try:
+                for item in it:
+                    self.q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._err = e
+            finally:
+                self.q.put(self._done)
+
+        self.thread = threading.Thread(target=produce, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._done:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class EpochIterFactory:
+    """factory(epoch) -> iterator of host batches; pluggable into Trainer."""
+
+    def __init__(
+        self,
+        batcher: BucketBatcher,
+        num_iters_per_epoch: Optional[int] = None,
+        shard: tuple[int, int] = (0, 1),
+        prefetch: int = 2,
+    ):
+        self.batcher = batcher
+        self.num_iters = num_iters_per_epoch
+        self.shard = shard
+        self.prefetch = prefetch
+
+    def __call__(self, epoch: int):
+        def gen():
+            produced = 0
+            # cycle the epoch plan until num_iters batches were produced
+            # (the reference windows batches across epochs the same way,
+            # sequence_iter_factory.py:60-101)
+            offset = 0
+            while True:
+                it = self.batcher.epoch_iterator(epoch + offset, self.shard)
+                empty = True
+                for batch in it:
+                    empty = False
+                    yield batch
+                    produced += 1
+                    if self.num_iters is not None and produced >= self.num_iters:
+                        return
+                if self.num_iters is None or empty:
+                    return
+                offset += 1000  # reseed for the wrap-around pass
+
+        if self.prefetch > 0:
+            return PrefetchIterator(gen(), self.prefetch)
+        return gen()

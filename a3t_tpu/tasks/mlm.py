@@ -1,0 +1,188 @@
+"""MLM (A3T pretraining) task assembly — the MLMTask analogue
+(espnet2/tasks/mlm.py:107-680), config-driven instead of argparse-driven.
+
+Wires: token list -> model -> optimizer -> batcher/iterators -> sharded
+train step -> trainer, and provides ``build_model_from_dir`` for inference
+(the reference's build_model_from_file, tasks/mlm.py:446-496).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from a3t_tpu.data.batcher import BucketBatcher
+from a3t_tpu.data.dataset import A3TDataset
+from a3t_tpu.data.iterator import EpochIterFactory
+from a3t_tpu.dsp import LogMelFrontend
+from a3t_tpu.models.mlm import A3TMLMModel
+from a3t_tpu.parallel import make_mesh, shard_variables
+from a3t_tpu.parallel.mesh import batch_sharding
+from a3t_tpu.tasks.config import A3TTaskConfig, load_config, save_config
+from a3t_tpu.text import TokenIDConverter, build_token_list
+from a3t_tpu.train import (
+    Trainer,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from a3t_tpu.train.checkpoint import CheckpointManager
+from a3t_tpu.train.train_step import featurize
+
+logger = logging.getLogger("a3t_tpu")
+
+
+class MLMTask:
+    @classmethod
+    def build_token_converter(cls, cfg: A3TTaskConfig) -> TokenIDConverter:
+        if cfg.token_list and os.path.exists(cfg.token_list):
+            return TokenIDConverter(cfg.token_list)
+        # build from training text (recipe stage 5, mlm.sh:257-260)
+        from a3t_tpu.data.fileio import read_2column_text
+
+        texts = read_2column_text(
+            os.path.join(cfg.train_data_dir, "text")).values()
+        conv = TokenIDConverter(build_token_list(texts))
+        if cfg.token_list:
+            conv.save(cfg.token_list)
+        return conv
+
+    @classmethod
+    def build_frontend(cls, cfg: A3TTaskConfig) -> LogMelFrontend:
+        return LogMelFrontend(cfg.frontend)
+
+    @classmethod
+    def build_model(cls, cfg: A3TTaskConfig, vocab_size: int) -> A3TMLMModel:
+        model_cfg = dataclasses.replace(cfg.model, vocab_size=vocab_size,
+                                        odim=cfg.frontend.n_mels)
+        return A3TMLMModel(model_cfg)
+
+    @classmethod
+    def build_batcher(cls, cfg: A3TTaskConfig, data_dir: str,
+                      conv: TokenIDConverter, train: bool,
+                      batch_multiple: int = 1) -> BucketBatcher:
+        ds = A3TDataset(data_dir, conv, speech_only=cfg.speech_only)
+        bcfg = cfg.batcher
+        if not train:
+            bcfg = dataclasses.replace(bcfg, mlm_prob_factor=1.0)
+        if batch_multiple > 1:
+            bcfg = dataclasses.replace(bcfg, batch_multiple=batch_multiple)
+        return BucketBatcher(ds, cfg.frontend, bcfg)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def run(cls, cfg: A3TTaskConfig, shard: tuple[int, int] = (0, 1)):
+        """Full training: the main_worker analogue (abs_task.py:1048-1299)."""
+        os.makedirs(cfg.exp_dir, exist_ok=True)
+        save_config(cfg, os.path.join(cfg.exp_dir, "config.yaml"))
+
+        conv = cls.build_token_converter(cfg)
+        conv.save(os.path.join(cfg.exp_dir, "tokens.txt"))
+        fe = cls.build_frontend(cfg)
+        model = cls.build_model(cfg, len(conv))
+        tx = make_optimizer(cfg.optim)
+
+        mesh = None
+        dp = 1
+        if jax.device_count() > 1:
+            mesh = make_mesh(cfg.mesh)
+            dp = mesh.shape["data"]
+            logger.info("mesh: %s", mesh)
+
+        train_batcher = cls.build_batcher(
+            cfg, cfg.train_data_dir, conv, True, batch_multiple=dp)
+        logger.info(
+            "train buckets: %s (%d utts dropped as overlong)",
+            [(b.n_frames, b.batch_size) for b in train_batcher.buckets],
+            train_batcher.n_dropped,
+        )
+        valid_batcher = None
+        if cfg.valid_data_dir:
+            valid_batcher = cls.build_batcher(
+                cfg, cfg.valid_data_dir, conv, False, batch_multiple=dp)
+
+        import jax.numpy as jnp
+
+        def to_device(it):
+            for b in it:
+                b = {k: jnp.asarray(v) for k, v in b.items()}
+                if mesh is not None:
+                    b = jax.device_put(b, batch_sharding(mesh))
+                yield b
+
+        train_factory = EpochIterFactory(
+            train_batcher, cfg.trainer.num_iters_per_epoch, shard,
+            cfg.num_workers_prefetch)
+        valid_factory = (
+            EpochIterFactory(valid_batcher, None, shard, cfg.num_workers_prefetch)
+            if valid_batcher else None
+        )
+
+        sample_host = next(iter(train_factory(0)))
+        sample = {k: jnp.asarray(v)[:2] for k, v in sample_host.items()}
+        state = create_train_state(
+            model, tx, featurize(fe, sample, use_fused=False),
+            rng=jax.random.PRNGKey(cfg.trainer.seed))
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+        logger.info("model params: %.2fM", n_params / 1e6)
+        if mesh is not None:
+            state = state.replace(
+                params=shard_variables(mesh, state.params),
+                opt_state=jax.device_put(state.opt_state),
+            )
+
+        trainer = Trainer(
+            cfg.trainer,
+            make_train_step(model, fe, mesh=mesh),
+            make_eval_step(model, fe, mesh=mesh),
+            lambda e: to_device(train_factory(e)),
+            (lambda e: to_device(valid_factory(e))) if valid_factory else None,
+            CheckpointManager(
+                os.path.join(cfg.exp_dir, "checkpoints"),
+                keep_nbest=cfg.trainer.keep_nbest_models,
+                criterion=cfg.trainer.best_model_criterion,
+            ),
+        )
+        return trainer.run(state)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build_model_from_dir(
+        cls, exp_dir: str, which: str = "ave",
+    ) -> tuple[A3TMLMModel, dict, "A3TTaskConfig", TokenIDConverter]:
+        """Rebuild (model, variables, config, tokens) from a training run.
+
+        ``which``: "ave" (n-best averaged params, the file inference uses,
+        sedit_inference.py:352), "best", or "epoch_N".
+        """
+        import orbax.checkpoint as ocp
+
+        cfg = load_config(os.path.join(exp_dir, "config.yaml"))
+        conv = TokenIDConverter(os.path.join(exp_dir, "tokens.txt"))
+        model = cls.build_model(cfg, len(conv))
+
+        ckpt_dir = os.path.join(exp_dir, "checkpoints")
+        reader = ocp.StandardCheckpointer()
+        ave = [d for d in os.listdir(ckpt_dir) if d.startswith("ave_")]
+        if which == "ave" and ave:
+            tree = reader.restore(os.path.join(ckpt_dir, sorted(ave)[-1]))
+            params = tree["params"]
+            # batch stats come from the latest epoch checkpoint
+            latest = CheckpointManager(ckpt_dir).latest_epoch()
+            stats = reader.restore(
+                os.path.join(ckpt_dir, f"epoch_{latest}"))["batch_stats"]
+        else:
+            if which in ("ave", "best", "latest"):
+                epoch = CheckpointManager(ckpt_dir).latest_epoch()
+            else:
+                epoch = int(which.split("_")[-1])
+            tree = reader.restore(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+            params, stats = tree["params"], tree["batch_stats"]
+        variables = {"params": params, "batch_stats": stats or {}}
+        return model, variables, cfg, conv

@@ -1,0 +1,165 @@
+"""Data pipeline tests: fileio, dataset, bucketing batcher, iterators,
+end-to-end on a generated miniature corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
+from a3t_tpu.data.dataset import A3TDataset
+from a3t_tpu.data.fileio import (
+    load_num_sequence_text,
+    read_2column_text,
+    read_wav,
+    write_2column_text,
+    write_num_sequence_text,
+    write_wav,
+)
+from a3t_tpu.data.iterator import EpochIterFactory
+from a3t_tpu.data.miniature import generate_mini_corpus
+from a3t_tpu.dsp import LogMelConfig
+from a3t_tpu.text import TokenIDConverter, build_token_list
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mini")
+    return generate_mini_corpus(str(d), n_utts=10, fs=8000, seed=1)
+
+
+@pytest.fixture(scope="module")
+def converter(corpus):
+    texts = read_2column_text(os.path.join(corpus, "text")).values()
+    return TokenIDConverter(build_token_list(texts))
+
+
+def test_fileio_roundtrip(tmp_path, rng):
+    p = tmp_path / "t"
+    write_2column_text(str(p / "text"), {"a": "X Y", "b": "Z"})
+    assert read_2column_text(str(p / "text")) == {"a": "X Y", "b": "Z"}
+
+    seqs = {"a": np.array([0.1, 0.2], np.float32)}
+    write_num_sequence_text(str(p / "mfa"), seqs)
+    got = load_num_sequence_text(str(p / "mfa"))
+    np.testing.assert_allclose(got["a"], seqs["a"], atol=1e-6)
+
+    wav = rng.uniform(-0.9, 0.9, 1000).astype(np.float32)
+    write_wav(str(p / "x.wav"), 8000, wav)
+    fs, back = read_wav(str(p / "x.wav"))
+    assert fs == 8000
+    np.testing.assert_allclose(back, wav, atol=1e-3)
+
+
+def test_dataset_loads_consistent_items(corpus, converter):
+    ds = A3TDataset(corpus, converter)
+    assert len(ds) == 10
+    item = ds[ds.uids[0]]
+    assert item["fs"] == 8000
+    assert len(item["phones"]) == len(item["align_start_sec"])
+    assert (item["align_end_sec"] >= item["align_start_sec"]).all()
+    assert item["text_ids"].dtype == np.int32
+    # alignment covers the waveform
+    assert item["align_end_sec"][-1] * 8000 <= len(item["audio"]) + 800
+    assert ds.num_samples(ds.uids[0]) == len(item["audio"])
+
+
+def test_tokenizer_roundtrip(converter):
+    ids = converter.text2ids("AA IY UW")
+    assert converter.ids2tokens(ids) == ["AA", "IY", "UW"]
+    assert converter.text2ids("NOT_A_PHONE") == [converter.unk_id]
+
+
+def test_batcher_static_shapes(corpus, converter):
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    ds = A3TDataset(corpus, converter)
+    cfg = BatcherConfig(batch_bins=20 * 64 * 4, bucket_frames=(64, 128, 256),
+                        mlm_prob_factor=1.0)
+    batcher = BucketBatcher(ds, fe, cfg)
+    assert batcher.n_dropped == 0
+
+    plans = batcher.batch_plan(epoch=1)
+    assert len(plans) >= 1
+    rng = np.random.default_rng(0)
+    for bi, uids in plans:
+        batch = batcher.make_batch(bi, uids, rng)
+        spec = batcher.buckets[bi]
+        assert batch["audio"].shape == (spec.batch_size, spec.n_samples)
+        assert batch["masked_position"].shape == (spec.batch_size, spec.n_frames)
+        assert batch["text"].shape == (spec.batch_size, spec.n_text)
+        # true lengths within bucket
+        assert (batch["audio_lengths"] <= spec.n_samples).all()
+        # masking only where audio exists
+        for i in range(len(uids)):
+            n_f = batch["audio_lengths"][i] // fe.hop_length + 1
+            assert not batch["masked_position"][i, n_f:].any()
+        # segment positions consistent with text mask
+        tm = batch["text_mask"]
+        tsp = batch["text_segment_pos"]
+        assert ((tsp > 0) == tm).all()
+
+
+def test_batch_plan_epoch_seeding(corpus, converter):
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    ds = A3TDataset(corpus, converter)
+    batcher = BucketBatcher(ds, fe, BatcherConfig(
+        batch_bins=20 * 64 * 2, bucket_frames=(64, 128, 256)))
+    p1 = batcher.batch_plan(1)
+    p1b = batcher.batch_plan(1)
+    p2 = batcher.batch_plan(2)
+    assert p1 == p1b  # reproducible
+    assert p1 != p2  # reshuffled per epoch
+    # sharding partitions the plan
+    s0 = batcher.batch_plan(1, shard=(0, 2))
+    s1 = batcher.batch_plan(1, shard=(1, 2))
+    assert len(s0) + len(s1) == len(p1)
+
+
+def test_iter_factory_window(corpus, converter):
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    ds = A3TDataset(corpus, converter)
+    batcher = BucketBatcher(ds, fe, BatcherConfig(
+        batch_bins=20 * 64 * 2, bucket_frames=(64, 128, 256)))
+    factory = EpochIterFactory(batcher, num_iters_per_epoch=7, prefetch=2)
+    batches = list(factory(1))
+    assert len(batches) == 7  # wraps the corpus as needed
+
+
+def test_end_to_end_train_on_mini_corpus(corpus, converter):
+    """The mini_an4-style integration test: files -> batches -> train steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from a3t_tpu.dsp import LogMelFrontend
+    from a3t_tpu.models import A3TMLMModel, A3TModelConfig, EncoderConfig
+    from a3t_tpu.train import OptimConfig, create_train_state, make_optimizer, make_train_step
+    from a3t_tpu.train.train_step import featurize
+
+    fe_cfg = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                          n_mels=20, fmin=20, fmax=4000)
+    fe = LogMelFrontend(fe_cfg)
+    ds = A3TDataset(corpus, converter)
+    batcher = BucketBatcher(ds, fe_cfg, BatcherConfig(
+        batch_bins=20 * 256 * 4, bucket_frames=(256,), min_frames=1))
+    enc = EncoderConfig(attention_dim=32, attention_heads=2, linear_units=64,
+                        num_blocks=1, cnn_module_kernel=7)
+    model = A3TMLMModel(A3TModelConfig(
+        odim=20, vocab_size=len(converter), encoder=enc, decoder=None,
+        postnet_layers=0))
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=10))
+
+    batches = [
+        {k: jnp.asarray(v) for k, v in b.items()}
+        for b in EpochIterFactory(batcher, num_iters_per_epoch=3, prefetch=0)(1)
+    ]
+    state = create_train_state(model, tx, featurize(fe, batches[0], use_fused=False))
+    step = make_train_step(model, fe, donate=False)
+    losses = []
+    for i, b in enumerate(batches):
+        state, stats = step(state, b, jax.random.PRNGKey(i))
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[0] > 0

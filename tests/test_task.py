@@ -1,0 +1,109 @@
+"""Task/config layer tests: yaml round trip, overrides, full CLI training on
+the miniature corpus, model reconstruction from exp dir."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from a3t_tpu.data.miniature import generate_mini_corpus
+from a3t_tpu.tasks.config import (
+    A3TTaskConfig,
+    apply_overrides,
+    config_from_dict,
+    load_config,
+    save_config,
+)
+
+
+def mini_config_dict(corpus, exp_dir):
+    return {
+        "train_data_dir": corpus,
+        "valid_data_dir": corpus,
+        "exp_dir": exp_dir,
+        "frontend": {"fs": 8000, "n_fft": 256, "hop_length": 80,
+                     "win_length": 240, "n_mels": 20, "fmin": 20.0,
+                     "fmax": 4000.0},
+        "model": {
+            "encoder": {"attention_dim": 32, "attention_heads": 2,
+                        "linear_units": 64, "num_blocks": 1,
+                        "cnn_module_kernel": 7},
+            "decoder": None,
+            "postnet_layers": 2,
+            "postnet_chans": 16,
+        },
+        "optim": {"model_size": 32, "warmup_steps": 10},
+        "batcher": {"batch_bins": 20 * 256 * 4, "bucket_frames": [256],
+                    "min_frames": 1},
+        "trainer": {"max_epoch": 2, "num_iters_per_epoch": 2,
+                    "keep_nbest_models": 2, "log_interval": 100},
+    }
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = config_from_dict(mini_config_dict("/d", "/e"))
+    assert cfg.frontend.n_mels == 20
+    assert cfg.model.decoder is None
+    assert cfg.model.encoder.attention_dim == 32
+    path = str(tmp_path / "c.yaml")
+    save_config(cfg, path)
+    cfg2 = load_config(path)
+    assert cfg2 == cfg
+
+
+def test_config_overrides(tmp_path):
+    d = mini_config_dict("/d", "/e")
+    d2 = apply_overrides(d, ["optim.lr=0.5", "trainer.max_epoch=7",
+                             "model.encoder.num_blocks=3"])
+    cfg = config_from_dict(d2)
+    assert cfg.optim.lr == 0.5
+    assert cfg.trainer.max_epoch == 7
+    assert cfg.model.encoder.num_blocks == 3
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        config_from_dict({"no_such_key": 1})
+
+
+def test_cli_train_on_mini_corpus(tmp_path):
+    corpus = generate_mini_corpus(str(tmp_path / "data"), n_utts=8, fs=8000)
+    exp = str(tmp_path / "exp")
+    conf_path = str(tmp_path / "mini.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(mini_config_dict(corpus, exp), f)
+
+    from a3t_tpu.bin.train import main
+
+    main(["--config", conf_path, "--log-level", "WARNING"])
+
+    # artifacts: dumped config, tokens, checkpoints, averaged params
+    assert os.path.exists(os.path.join(exp, "config.yaml"))
+    assert os.path.exists(os.path.join(exp, "tokens.txt"))
+    ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+    assert any(c.startswith("epoch_") for c in ckpts)
+    assert any(c.startswith("ave_") for c in ckpts)
+
+    # model reconstruction for inference
+    from a3t_tpu.tasks import MLMTask
+
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
+    assert cfg.frontend.fs == 8000
+    assert "params" in variables and "sfc" in variables["params"]
+
+    # reconstructed model runs a forward pass
+    import jax.numpy as jnp
+    from a3t_tpu.data.batcher import BucketBatcher
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.dsp import LogMelFrontend
+    from a3t_tpu.train.train_step import featurize
+
+    ds = A3TDataset(corpus, conv)
+    batcher = BucketBatcher(ds, cfg.frontend, cfg.batcher)
+    batch = next(iter(batcher.epoch_iterator(0)))
+    fe = LogMelFrontend(cfg.frontend)
+    mb = featurize(fe, {k: jnp.asarray(v) for k, v in batch.items()},
+                   use_fused=False)
+    before, after, _ = model.apply(variables, **mb, train=False)
+    assert np.isfinite(np.asarray(before)).all()
