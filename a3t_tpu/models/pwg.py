@@ -1,0 +1,223 @@
+"""ParallelWaveGAN generator (JAX/flax) — the vocoder family.
+
+A faithful re-expression of the reference generator
+(espnet2/gan_tts/parallel_wavegan/parallel_wavegan.py:26-229,
+gan_tts/wavenet/residual_block.py:43-169, gan_tts/parallel_wavegan/
+upsample.py:22-189) in channels-last layout:
+
+* noise (B, T_wav, 1) -> 1x1 conv -> 30 dilated residual blocks
+  (gated tanh/sigmoid, mel conditioning via 1x1, fused res+skip 1x1),
+* mel (B, T_feats, C) -> context conv -> nearest-stretch + smoothing conv
+  per upsample scale -> (B, T_wav, C),
+* skip sum * sqrt(1/layers) -> relu -> 1x1 -> relu -> 1x1 -> waveform.
+
+Pretrained ``parallel_wavegan`` checkpoints (the tags sedit_inference.py
+downloads, :339-348) are imported with weight-norm folded
+(:func:`convert_pwg_state`), so inference is pure dense convs — exactly
+what XLA fuses best on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class PWGConfig:
+    in_channels: int = 1
+    out_channels: int = 1
+    kernel_size: int = 3
+    layers: int = 30
+    stacks: int = 3
+    residual_channels: int = 64
+    gate_channels: int = 128
+    skip_channels: int = 64
+    aux_channels: int = 80
+    aux_context_window: int = 2
+    # hop 300 (24 kHz recipes) = 4*5*3*5; hop 256 (LJSpeech) = 4*4*4*4
+    upsample_scales: tuple = (4, 5, 3, 5)
+
+    @property
+    def upsample_factor(self) -> int:
+        return int(np.prod(self.upsample_scales))
+
+
+kaiming = nn.initializers.kaiming_normal()
+
+
+class PWGResidualBlock(nn.Module):
+    """WaveNet residual block with fused res+skip projection
+    (residual_block.py:43-169, scale_residual=True)."""
+
+    config: PWGConfig
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x, c):
+        cfg = self.config
+        residual = x
+        h = nn.Conv(
+            cfg.gate_channels, (cfg.kernel_size,),
+            kernel_dilation=self.dilation, padding="SAME",
+            kernel_init=kaiming, name="conv",
+        )(x)
+        xa, xb = jnp.split(h, 2, axis=-1)
+        ca, cb = jnp.split(
+            nn.Conv(cfg.gate_channels, (1,), use_bias=False,
+                    kernel_init=kaiming, name="conv1x1_aux")(c),
+            2, axis=-1,
+        )
+        h = jnp.tanh(xa + ca) * nn.sigmoid(xb + cb)
+        h = nn.Conv(
+            cfg.residual_channels + cfg.skip_channels, (1,),
+            kernel_init=kaiming, name="conv1x1_out",
+        )(h)
+        res, skip = jnp.split(h, [cfg.residual_channels], axis=-1)
+        return (res + residual) * math.sqrt(0.5), skip
+
+
+class PWGUpsampleNetwork(nn.Module):
+    """Context conv + (nearest stretch -> smoothing conv) per scale
+    (upsample.py:68-189, ConvInUpsampleNetwork)."""
+
+    config: PWGConfig
+
+    @nn.compact
+    def __call__(self, c):
+        cfg = self.config
+        # replication pad + context conv (kernel 2*window+1, no bias)
+        w = cfg.aux_context_window
+        cp = jnp.concatenate(
+            [jnp.repeat(c[:, :1], w, axis=1), c, jnp.repeat(c[:, -1:], w, axis=1)],
+            axis=1,
+        )
+        c = nn.Conv(cfg.aux_channels, (2 * w + 1,), padding="VALID",
+                    use_bias=False, kernel_init=kaiming, name="conv_in")(cp)
+
+        for i, scale in enumerate(cfg.upsample_scales):
+            # nearest-neighbor stretch along time
+            c = jnp.repeat(c, scale, axis=1)
+            # single smoothing filter along time, shared across mel channels
+            # (torch Conv2d(1, 1, (1, 2*scale+1)); init 1/kernel_size)
+            b, t, ch = c.shape
+            flat = c.transpose(0, 2, 1).reshape(b * ch, t, 1)
+            flat = nn.Conv(
+                1, (2 * scale + 1,), padding="SAME", use_bias=False,
+                kernel_init=nn.initializers.constant(1.0 / (2 * scale + 1)),
+                name=f"up_conv_{i}",
+            )(flat)
+            c = flat.reshape(b, ch, t).transpose(0, 2, 1)
+        return c
+
+
+class ParallelWaveGANGenerator(nn.Module):
+    """mel (B, T_feats, aux) [+ noise (B, T_wav, 1)] -> wav (B, T_wav)."""
+
+    config: PWGConfig = PWGConfig()
+
+    @nn.compact
+    def __call__(self, c, z=None, rng: Optional[jax.Array] = None):
+        cfg = self.config
+        b, t_feats, _ = c.shape
+        t_wav = t_feats * cfg.upsample_factor
+        if z is None:
+            rng = rng if rng is not None else self.make_rng("noise")
+            z = jax.random.normal(rng, (b, t_wav, cfg.in_channels), c.dtype)
+
+        c_up = PWGUpsampleNetwork(cfg, name="upsample_net")(c)
+
+        x = nn.Conv(cfg.residual_channels, (1,), kernel_init=kaiming,
+                    name="first_conv")(z)
+        skips = 0.0
+        layers_per_stack = cfg.layers // cfg.stacks
+        for i in range(cfg.layers):
+            x, s = PWGResidualBlock(
+                cfg, dilation=2 ** (i % layers_per_stack), name=f"block_{i}"
+            )(x, c_up)
+            skips = skips + s
+        x = skips * math.sqrt(1.0 / cfg.layers)
+
+        x = nn.relu(x)
+        x = nn.Conv(cfg.skip_channels, (1,), kernel_init=kaiming,
+                    name="last_conv_1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(cfg.out_channels, (1,), kernel_init=kaiming,
+                    name="last_conv_2")(x)
+        return x[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint import (weight-norm folding)
+# ---------------------------------------------------------------------------
+
+def _fold_weight_norm(sd: dict, key: str) -> np.ndarray:
+    """Return the dense conv weight, folding weight_g/weight_v if present."""
+    if f"{key}.weight" in sd:
+        return np.asarray(sd[f"{key}.weight"])
+    g = np.asarray(sd[f"{key}.weight_g"])
+    v = np.asarray(sd[f"{key}.weight_v"])
+    norm = np.sqrt((v ** 2).sum(axis=tuple(range(1, v.ndim)), keepdims=True))
+    return g * v / norm
+
+
+def _conv_t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 1, 0))
+
+
+def convert_pwg_state(state_dict: dict, config: PWGConfig = PWGConfig()) -> dict:
+    """Reference generator state dict -> flax params for this module.
+
+    Accepts both the in-repo espnet2 generator and upstream
+    ``parallel_wavegan`` package checkpoints (identical naming), with or
+    without weight norm.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    def conv(prefix, bias=True):
+        p = {"kernel": _conv_t(_fold_weight_norm(sd, prefix))}
+        if bias and f"{prefix}.bias" in sd:
+            p["bias"] = sd[f"{prefix}.bias"]
+        return p
+
+    params: dict = {
+        "first_conv": conv("first_conv"),
+        "last_conv_1": conv("last_conv_layers.1"),
+        "last_conv_2": conv("last_conv_layers.3"),
+    }
+
+    up: dict = {"conv_in": conv("upsample_net.conv_in", bias=False)}
+    for i in range(len(config.upsample_scales)):
+        # torch up_layers: [stretch, conv2d] per scale -> conv2d at 2i+1;
+        # weight (1, 1, 1, k) -> flax (k, 1, 1)
+        w = _fold_weight_norm(sd, f"upsample_net.upsample.up_layers.{2 * i + 1}")
+        up[f"up_conv_{i}"] = {"kernel": np.asarray(w).reshape(-1, 1, 1)}
+    params["upsample_net"] = up
+
+    for i in range(config.layers):
+        params[f"block_{i}"] = {
+            "conv": conv(f"conv_layers.{i}.conv"),
+            "conv1x1_aux": conv(f"conv_layers.{i}.conv1x1_aux", bias=False),
+            "conv1x1_out": conv(f"conv_layers.{i}.conv1x1_out"),
+        }
+    return {"params": params}
+
+
+def load_pwg_checkpoint(path: str, config: PWGConfig = PWGConfig()) -> dict:
+    """Load a ``parallel_wavegan`` pickle/pth checkpoint (requires torch)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt
+    for key in ("model", "generator"):
+        if isinstance(sd, dict) and key in sd:
+            sd = sd[key]
+    return convert_pwg_state(sd, config)
