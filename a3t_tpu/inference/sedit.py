@@ -1,0 +1,546 @@
+"""Speech editing + prompt-based TTS — the public inference surface.
+
+TPU-native port of the reference API (espnet2/bin/sedit_inference.py):
+
+* :func:`words2phns` — text -> phones via lexicon + letter-to-sound for OOV
+  (sedit_inference.py:300-337)
+* :func:`diff_phone_spans` — longest common prefix/suffix over word->phones
+  mappings to find the edited phone span, with ``[MASK]`` and append
+  (prompt) modes (get_phns_and_spans, :437-504)
+* :func:`duration_adjust_factor` — trimmed-mean speaking-rate ratio (:506-524)
+* :class:`SpeechEditor` — end-to-end editing:
+  build the new phone timeline with predicted durations (:526-594),
+  zero-fill the edited span's waveform, mask it, reconstruct with the
+  teacher-forced A3T forward (sedit_model.py:271-284), vocode, and splice
+  ``wav[:t0] + generated[t0':t1'] + wav[t1:]`` (:62-87);
+  prompt-based TTS is the append-mode special case (:685-707).
+
+Everything heavy (mel front-end, model forward, vocoder) is jitted; inputs
+are padded to shape buckets so repeated edits reuse compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+from a3t_tpu.masking import masked_positions_from_boundary, segment_positions
+
+PUNCTUATION = [",", ".", ":", ";", "!", "?", '"', "(", ")", "--", "---"]
+MASK_TOKEN = "[MASK]"
+
+
+# ---------------------------------------------------------------------------
+# text -> phones
+# ---------------------------------------------------------------------------
+
+def clean_words(line: str) -> list[str]:
+    """Strip punctuation and stray apostrophes/hyphens (ref :304-314)."""
+    for pun in PUNCTUATION:
+        line = line.replace(pun, " ")
+    words = []
+    for wrd in line.strip().split():
+        if wrd.endswith("-"):
+            wrd = wrd[:-1]
+        if wrd.startswith("'"):
+            wrd = wrd[1:]
+        if wrd:
+            words.append(wrd)
+    return words
+
+
+def words2phns(
+    line: str,
+    lexicon: dict[str, list[str]],
+    g2p: Optional[Callable[[str], list[str]]] = None,
+) -> tuple[list[str], dict[str, list[str]]]:
+    """Text -> (phones, {"idx_WORD": phones}) (ref words2phns_yuan :300-337).
+
+    ``lexicon`` maps UPPERCASE words to phone lists; ``g2p`` handles OOV
+    words (the reference shells out to the english2phoneme C binary; here
+    any callable — e.g. a3t_tpu.text.g2p.letter_to_sound — plugs in).
+    """
+    phns: list[str] = []
+    wrd2phns: dict[str, list[str]] = {}
+    for index, wrd in enumerate(clean_words(line)):
+        if wrd == MASK_TOKEN:
+            wrd2phns[f"{index}_{wrd}"] = [wrd]
+            phns.append(wrd)
+        elif wrd.upper() not in lexicon:
+            if g2p is None:
+                raise KeyError(f"OOV word {wrd!r} and no g2p provided")
+            p = list(g2p(wrd))
+            wrd2phns[f"{index}_{wrd.upper()}"] = p
+            phns.extend(p)
+        else:
+            p = list(lexicon[wrd.upper()])
+            wrd2phns[f"{index}_{wrd.upper()}"] = p
+            phns.extend(p)
+    return phns, wrd2phns
+
+
+# ---------------------------------------------------------------------------
+# alignment containers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class UtteranceAlignment:
+    """Phone-level forced alignment of one utterance."""
+
+    phones: list[str]
+    start_sec: np.ndarray  # (n_phones,)
+    end_sec: np.ndarray
+    word2phns: dict[str, list[str]]  # "idx_WORD" -> phones (incl. sp entries)
+
+    @property
+    def durations(self) -> np.ndarray:
+        return np.asarray(self.end_sec) - np.asarray(self.start_sec)
+
+
+class FileAlignmentSource:
+    """Alignments from mfa_text/mfa_start/mfa_end files (ref get_align_data,
+    :374-380), with word2phns reconstructed treating each phone as a word
+    unless an explicit lexicon maps multi-phone words."""
+
+    def __init__(self, data_dir: str):
+        import os
+
+        from a3t_tpu.data.fileio import load_num_sequence_text, read_2column_text
+
+        self.text = read_2column_text(os.path.join(data_dir, "text"))
+        self.start = load_num_sequence_text(os.path.join(data_dir, "mfa_start"))
+        self.end = load_num_sequence_text(os.path.join(data_dir, "mfa_end"))
+
+    def __call__(self, uid: str) -> UtteranceAlignment:
+        phones = self.text[uid].split()
+        word2phns = {f"{i}_{p.upper()}": [p] for i, p in enumerate(phones)}
+        return UtteranceAlignment(
+            phones, self.start[uid], self.end[uid], word2phns)
+
+
+# ---------------------------------------------------------------------------
+# edited-span diffing (get_phns_and_spans, ref :437-504)
+# ---------------------------------------------------------------------------
+
+def diff_phone_spans(
+    alignment: UtteranceAlignment,
+    old_str: str,
+    new_str: str,
+    lexicon: dict[str, list[str]],
+    g2p: Optional[Callable] = None,
+) -> tuple[list[str], list[int], list[int]]:
+    """Find the phone spans that differ between old and new text.
+
+    Returns (new_phns, span_tobe_replaced [old-phone idx), span_tobe_added
+    [new-phone idx)).  Matches the reference's left/right scan over the
+    word->phones dicts, including 'sp' handling, the append (prompt) mode
+    and the empty-middle widening.
+    """
+    append_new_str = old_str == new_str[: len(old_str)]
+    old_phns = alignment.phones
+    word2phns = alignment.word2phns
+
+    new_phns_all, new_word2phns = words2phns(new_str, lexicon, g2p)
+
+    span_tobe_replaced = [0, len(old_phns) - 1]
+    span_tobe_added = [0, len(new_phns_all) - 1]
+
+    left_index = 0
+    new_phns_left: list[str] = []
+    sp_count = 0
+    found_left_diff = False
+    for key in word2phns:
+        idx, wrd = key.split("_", 1)
+        if wrd == "sp":
+            sp_count += 1
+            new_phns_left.append("sp")
+        else:
+            idx = str(int(idx) - sp_count)
+            if f"{idx}_{wrd}" in new_word2phns:
+                left_index += len(new_word2phns[f"{idx}_{wrd}"])
+                new_phns_left.extend(word2phns[key])
+            else:
+                span_tobe_replaced[0] = len(new_phns_left)
+                span_tobe_added[0] = len(new_phns_left)
+                found_left_diff = True
+                break
+
+    new_phns_right: list[str] = []
+    new_phns_middle: list[str] = []
+    if append_new_str:
+        new_phns_middle = new_phns_all[left_index:]
+        span_tobe_replaced[0] = len(new_phns_left)
+        span_tobe_added[0] = len(new_phns_left)
+        span_tobe_added[1] = len(new_phns_left) + len(new_phns_middle)
+        span_tobe_replaced[1] = len(old_phns) - len(new_phns_right)
+    else:
+        right_index = 0
+        sp_count = 0
+        word2phns_max_index = int(list(word2phns.keys())[-1].split("_")[0])
+        new_word2phns_max_index = int(
+            list(new_word2phns.keys())[-1].split("_")[0])
+        for key in list(word2phns.keys())[::-1]:
+            idx, wrd = key.split("_", 1)
+            if wrd == "sp":
+                sp_count += 1
+                new_phns_right = ["sp"] + new_phns_right
+            else:
+                idx = str(
+                    new_word2phns_max_index
+                    - (word2phns_max_index - int(idx) - sp_count)
+                )
+                if f"{idx}_{wrd}" in new_word2phns:
+                    right_index -= len(new_word2phns[f"{idx}_{wrd}"])
+                    new_phns_right = word2phns[key] + new_phns_right
+                else:
+                    span_tobe_replaced[1] = len(old_phns) - len(new_phns_right)
+                    # right_index <= 0: python slice semantics make 0 an
+                    # empty middle (triggering the widening below), matching
+                    # the reference exactly (ref :494)
+                    new_phns_middle = new_phns_all[left_index:right_index]
+                    span_tobe_added[1] = len(new_phns_left) + len(new_phns_middle)
+                    if len(new_phns_middle) == 0:
+                        span_tobe_added[1] = min(
+                            span_tobe_added[1] + 1, len(new_phns_all))
+                        span_tobe_added[0] = max(0, span_tobe_added[0] - 1)
+                        span_tobe_replaced[0] = max(0, span_tobe_replaced[0] - 1)
+                        span_tobe_replaced[1] = min(
+                            span_tobe_replaced[1] + 1, len(old_phns))
+                    break
+
+    new_phns = new_phns_left + new_phns_middle + new_phns_right
+    return new_phns, span_tobe_replaced, span_tobe_added
+
+
+def duration_adjust_factor(
+    original_dur: Sequence[float], pred_dur: Sequence[float],
+    phns: Sequence[str],
+) -> float:
+    """Trimmed-mean ratio of true to predicted durations (ref :506-524)."""
+    factors = [
+        o / p
+        for o, p, phn in zip(original_dur, pred_dur, phns)
+        if p != 0 and phn != "sp"
+    ]
+    factors = np.sort(np.asarray(factors))
+    if len(factors) < 5:
+        return 1.0
+    return float(np.average(factors[2:-2]))
+
+
+def masked_mel_boundary(
+    start_sec, end_sec, fs: int, hop_length: int, phone_span: Sequence[int]
+) -> list[int]:
+    """Phone-index span -> [frame_start, frame_end] (ref :426-435)."""
+    a_start = np.floor(fs * np.asarray(start_sec) / hop_length).astype(int)
+    a_end = np.floor(fs * np.asarray(end_sec) / hop_length).astype(int)
+    if phone_span[0] >= len(a_start):
+        return [int(a_end[-1]), int(a_end[-1])]
+    return [int(a_start[phone_span[0]]), int(a_end[phone_span[1] - 1])]
+
+
+# ---------------------------------------------------------------------------
+# the editor
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class EditResult:
+    prediction: np.ndarray  # full vocoded edited waveform
+    origin_replaced: np.ndarray  # original wav with only the span replaced
+    origin: np.ndarray
+    mel_original: np.ndarray
+    mel_edited: np.ndarray
+    old_span_boundary: list[int]
+    new_span_boundary: list[int]
+
+
+class SpeechEditor:
+    """End-to-end speech editing / prompt TTS on TPU.
+
+    Args:
+        model, variables: an A3TMLMModel + trained parameters.
+        frontend_config: front-end matching the model's training.
+        token_converter: phone vocabulary.
+        vocoder: callable (B, F, n_mels) log-mel -> (B, S) waveform; defaults
+            to Griffin-Lim.  Use models/pwg.py for ParallelWaveGAN.
+        duration_fn: callable (phones, wav) -> per-phone seconds; required
+            for text *replacement* (the reference uses a pretrained
+            FastSpeech2, duration_predict :398-424 — see
+            models/fastspeech2.py); pure reconstruction/[MASK] editing works
+            without it.
+        lexicon / g2p: word -> phones resources for new text.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: dict,
+        frontend_config: LogMelConfig,
+        token_converter,
+        vocoder: Optional[Callable] = None,
+        duration_fn: Optional[Callable] = None,
+        lexicon: Optional[dict[str, list[str]]] = None,
+        g2p: Optional[Callable] = None,
+        frame_bucket: int = 64,
+        text_bucket: int = 8,
+    ):
+        self.model = model
+        self.variables = variables
+        self.fe = LogMelFrontend(frontend_config)
+        self.tokens = token_converter
+        self.vocoder = vocoder
+        self.duration_fn = duration_fn
+        self.lexicon = lexicon or {}
+        self.g2p = g2p
+        self.frame_bucket = frame_bucket
+        self.text_bucket = text_bucket
+
+        self._jit_forward = jax.jit(
+            functools.partial(self.model.apply, train=False))
+        self._jit_mel = jax.jit(self.fe)
+
+    # -- helpers ---------------------------------------------------------
+    def mel(self, wav: np.ndarray) -> np.ndarray:
+        feats, _ = self._jit_mel(jnp.asarray(wav[None]))
+        n_f = 1 + len(wav) // self.fe.config.hop_length
+        return np.asarray(feats[0, :n_f])
+
+    def _vocode(self, mel: np.ndarray) -> np.ndarray:
+        if self.vocoder is not None:
+            return np.asarray(self.vocoder(jnp.asarray(mel[None])))[0]
+        from a3t_tpu.dsp.griffin_lim import logmel_to_wav
+
+        return np.asarray(logmel_to_wav(jnp.asarray(mel[None]),
+                                        self.fe.config))[0]
+
+    # -- timeline construction (ref prepare_features_with_duration) ------
+    def _new_timeline(
+        self,
+        wav: np.ndarray,
+        alignment: UtteranceAlignment,
+        old_str: str,
+        new_str: str,
+        duration_adjust: bool = True,
+        mask_reconstruct: bool = False,
+        end_sp: bool = False,
+    ):
+        c = self.fe.config
+        fs, hop = c.fs, c.hop_length
+        mfa_start = list(np.asarray(alignment.start_sec, float))
+        mfa_end = list(np.asarray(alignment.end_sec, float))
+        old_phns = alignment.phones
+
+        new_phns, span_replaced, span_added = diff_phone_spans(
+            alignment, old_str, new_str, self.lexicon, self.g2p)
+        if end_sp and new_phns and new_phns[-1] != "sp":
+            new_phns = new_phns + ["sp"]
+
+        if MASK_TOKEN in new_str and mask_reconstruct:
+            # pure masked reconstruction: original timeline, span from the
+            # old alignment (ref :538-540)
+            boundary = masked_mel_boundary(
+                mfa_start, mfa_end, fs, hop, span_replaced)
+            return wav, old_phns, mfa_start, mfa_end, boundary, boundary
+
+        if self.duration_fn is None:
+            raise ValueError(
+                "text replacement needs a duration_fn (FastSpeech2 or the "
+                "duration-aware A3T variant)")
+        old_durations = list(self.duration_fn(old_phns, wav))
+        original_old_durations = [e - s for e, s in zip(mfa_end, mfa_start)]
+
+        if MASK_TOKEN in new_str:
+            new_phns = list(old_phns)
+            span_added = list(span_replaced)
+            d_left = duration_adjust_factor(
+                original_old_durations[: span_replaced[0]],
+                old_durations[: span_replaced[0]],
+                old_phns[: span_replaced[0]])
+            d_right = duration_adjust_factor(
+                original_old_durations[span_replaced[1]:],
+                old_durations[span_replaced[1]:],
+                old_phns[span_replaced[1]:])
+            d_factor = (d_left + d_right) / 2
+            new_durations_adjusted = [d_factor * i for i in old_durations]
+        else:
+            d_factor = (
+                duration_adjust_factor(
+                    original_old_durations, old_durations, old_phns)
+                if duration_adjust else 1.0
+            )
+            new_durations = list(self.duration_fn(new_phns, wav))
+            new_durations_adjusted = [d_factor * i for i in new_durations]
+            # keep the original durations of the boundary phones when they
+            # are unchanged (ref :560-564)
+            if (span_replaced[0] < len(old_phns)
+                    and old_phns[span_replaced[0]] == new_phns[span_added[0]]):
+                new_durations_adjusted[span_added[0]] = \
+                    original_old_durations[span_replaced[0]]
+            if span_replaced[1] < len(old_phns) and span_added[1] < len(new_phns):
+                if old_phns[span_replaced[1]] == new_phns[span_added[1]]:
+                    new_durations_adjusted[span_added[1]] = \
+                        original_old_durations[span_replaced[1]]
+
+        new_span_dur = sum(new_durations_adjusted[span_added[0]: span_added[1]])
+        old_span_dur = sum(
+            original_old_durations[span_replaced[0]: span_replaced[1]])
+        offset = new_span_dur - old_span_dur
+
+        new_mfa_start = mfa_start[: span_replaced[0]]
+        new_mfa_end = mfa_end[: span_replaced[0]]
+        for d in new_durations_adjusted[span_added[0]: span_added[1]]:
+            prev = new_mfa_end[-1] if new_mfa_end else 0.0
+            new_mfa_start.append(prev)
+            new_mfa_end.append(prev + d)
+        new_mfa_start += [t + offset for t in mfa_start[span_replaced[1]:]]
+        new_mfa_end += [t + offset for t in mfa_end[span_replaced[1]:]]
+
+        # zero-filled waveform for the edited span (ref :580-588)
+        if span_replaced[0] >= len(mfa_start):
+            left = right = len(wav)
+        else:
+            left = int(np.floor(mfa_start[span_replaced[0]] * fs))
+            right = int(np.ceil(mfa_end[span_replaced[1] - 1] * fs))
+        blank = np.zeros(int(np.ceil(new_span_dur * fs)), wav.dtype)
+        new_wav = np.concatenate([wav[:left], blank, wav[right:]])
+
+        old_boundary = masked_mel_boundary(
+            mfa_start, mfa_end, fs, hop, span_replaced)
+        new_boundary = masked_mel_boundary(
+            new_mfa_start, new_mfa_end, fs, hop, span_added)
+        return new_wav, new_phns, new_mfa_start, new_mfa_end, old_boundary, \
+            new_boundary
+
+    # -- model decode ----------------------------------------------------
+    def _reconstruct(
+        self, wav: np.ndarray, phones: list[str],
+        start_sec, end_sec, span_boundary: list[int],
+    ) -> np.ndarray:
+        """Teacher-forced masked reconstruction of the span; returns the
+        full mel with the generated span spliced in (ref decode_with_model
+        :612-636 + sedit_model.inference :271-284)."""
+        c = self.fe.config
+        hop = c.hop_length
+        n_f = 1 + len(wav) // hop
+
+        f_pad = _round_up(n_f, self.frame_bucket)
+        t_len = len(phones)
+        t_pad = _round_up(max(t_len, 1), self.text_bucket)
+        s_pad = (f_pad - 1) * hop
+
+        audio = np.zeros(s_pad, np.float32)
+        audio[: len(wav)] = wav[:s_pad]
+
+        feats, _ = self._jit_mel(jnp.asarray(audio[None]),
+                                 jnp.asarray([len(wav)], np.int32))
+
+        a_start = np.minimum(
+            np.floor(c.fs * np.asarray(start_sec) / hop).astype(np.int32), n_f)
+        a_end = np.minimum(
+            np.floor(c.fs * np.asarray(end_sec) / hop).astype(np.int32), n_f)
+
+        masked = masked_positions_from_boundary(f_pad, np.asarray(span_boundary))
+        speech_mask = np.arange(f_pad) < n_f
+        masked &= speech_mask
+        ssp, tsp = segment_positions(f_pad, t_pad, a_start, a_end, t_len)
+
+        ids = np.zeros(t_pad, np.int32)
+        ids[:t_len] = self.tokens.tokens2ids(phones)
+        text_mask = np.arange(t_pad) < t_len
+
+        before, after, _ = self._jit_forward(
+            self.variables,
+            speech=feats,
+            text=jnp.asarray(ids[None]),
+            masked_position=jnp.asarray(masked[None]),
+            speech_mask=jnp.asarray(speech_mask[None]),
+            text_mask=jnp.asarray(text_mask[None]),
+            speech_segment_pos=jnp.asarray(ssp[None]),
+            text_segment_pos=jnp.asarray(tsp[None]),
+        )
+        gen = np.asarray(after if after is not None else before)[0]
+        orig = np.asarray(feats[0])
+        s, e = span_boundary
+        out = np.concatenate([orig[:s], gen[s:e], orig[e:]], axis=0)
+        return out[:n_f]
+
+    # -- public API ------------------------------------------------------
+    def edit(
+        self,
+        wav: np.ndarray,
+        alignment: UtteranceAlignment,
+        old_str: str,
+        new_str: str,
+        duration_adjust: bool = True,
+        mask_reconstruct: bool = False,
+    ) -> EditResult:
+        """Replace/regenerate a span of ``wav`` so it says ``new_str``."""
+        hop = self.fe.config.hop_length
+        new_wav, phones, n_start, n_end, old_b, new_b = self._new_timeline(
+            wav, alignment, old_str, new_str,
+            duration_adjust=duration_adjust,
+            mask_reconstruct=mask_reconstruct)
+
+        mel_edited = self._reconstruct(new_wav, phones, n_start, n_end, new_b)
+        mel_original = self.mel(wav)
+
+        replaced_wav = self._vocode(mel_edited)
+        t_old = [hop * x for x in old_b]
+        t_new = [hop * x for x in new_b]
+        origin_replaced = np.concatenate([
+            wav[: t_old[0]],
+            replaced_wav[t_new[0]: t_new[1]],
+            wav[t_old[1]:],
+        ])
+        return EditResult(
+            prediction=replaced_wav,
+            origin_replaced=origin_replaced,
+            origin=wav,
+            mel_original=mel_original,
+            mel_edited=mel_edited,
+            old_span_boundary=old_b,
+            new_span_boundary=new_b,
+        )
+
+    def reconstruct_masked_span(
+        self, wav: np.ndarray, alignment: UtteranceAlignment,
+        old_str: str, masked_str: str,
+    ) -> EditResult:
+        """MCD-protocol reconstruction: mask the span marked [MASK] in
+        ``masked_str`` and regenerate it teacher-forced (ref decode_for_mcd
+        :639-671)."""
+        return self.edit(wav, alignment, old_str, masked_str,
+                         mask_reconstruct=True)
+
+    def prompt_tts(
+        self,
+        wav: np.ndarray,
+        alignment: UtteranceAlignment,
+        prompt_str: str,
+        full_str: str,
+        duration_adjust: bool = True,
+    ) -> dict:
+        """Generate ``full_str``'s continuation in the prompt speaker's
+        voice (ref prompt_decoding_fn :685-707).  ``full_str`` must start
+        with ``prompt_str``."""
+        if not full_str.startswith(prompt_str):
+            raise ValueError("full_str must extend prompt_str")
+        hop = self.fe.config.hop_length
+        new_wav, phones, n_start, n_end, old_b, new_b = self._new_timeline(
+            wav, alignment, prompt_str, full_str,
+            duration_adjust=duration_adjust)
+        mel_edited = self._reconstruct(new_wav, phones, n_start, n_end, new_b)
+        replaced_wav = self._vocode(mel_edited)
+        new_wav_out = replaced_wav[new_b[0] * hop:]
+        return {"prompt": wav, "new_wav": new_wav_out,
+                "full": np.concatenate([wav[: old_b[0] * hop], new_wav_out])}
