@@ -17,6 +17,8 @@ provided for completeness.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
@@ -65,6 +67,7 @@ class MultiHeadedAttention(nn.Module):
 
     n_head: int
     dropout_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query, key, value, mask=None, deterministic: bool = True):
@@ -72,19 +75,21 @@ class MultiHeadedAttention(nn.Module):
         d_k = d_model // self.n_head
 
         def proj(x, name):
-            y = nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros, name=name)(x)
+            y = nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
+                         dtype=self.dtype, name=name)(x)
             return y.reshape(*y.shape[:-1], self.n_head, d_k)
 
         q = proj(query, "linear_q")
         k = proj(key, "linear_k")
         v = proj(value, "linear_v")
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d_k)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(d_k)
         attn = apply_attn_mask(scores, mask)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], d_model)
         return nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
-                        name="linear_out")(out)
+                        dtype=self.dtype, name="linear_out")(out)
 
 
 class RelPositionMultiHeadedAttention(nn.Module):
@@ -98,11 +103,14 @@ class RelPositionMultiHeadedAttention(nn.Module):
     n_head: int
     dropout_rate: float = 0.0
     legacy: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
         d_model = x.shape[-1]
         d_k = d_model // self.n_head
+        if self.dtype is not None:
+            pos_emb = pos_emb.astype(self.dtype)
 
         def proj(y, name, use_bias=True):
             out = nn.Dense(
@@ -110,6 +118,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
                 kernel_init=xavier(),
                 bias_init=zeros,
                 use_bias=use_bias,
+                dtype=self.dtype,
                 name=name,
             )(y)
             return out.reshape(*out.shape[:-1], self.n_head, d_k)
@@ -125,9 +134,11 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + bias_u.astype(q.dtype)
         q_v = q + bias_v.astype(q.dtype)
 
-        matrix_ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
+        matrix_ac = jnp.einsum("bthd,bshd->bhts", q_u, k,
+                               preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bthd,bshd->bhts", q_v, jnp.broadcast_to(
-            p, (x.shape[0],) + p.shape[1:]))
+            p, (x.shape[0],) + p.shape[1:]),
+            preferred_element_type=jnp.float32)
         matrix_bd = legacy_rel_shift(matrix_bd) if self.legacy else latest_rel_shift(
             matrix_bd
         )
@@ -135,7 +146,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
         scores = (matrix_ac + matrix_bd) / np.sqrt(d_k)
         attn = apply_attn_mask(scores, mask)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], d_model)
         return nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
-                        name="linear_out")(out)
+                        dtype=self.dtype, name="linear_out")(out)

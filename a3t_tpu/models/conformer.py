@@ -52,6 +52,14 @@ class EncoderConfig:
     # "legacy_rel_selfattn" (the trained A3T path, see tasks/mlm.py:366-392)
     # | "rel_selfattn" | "selfattn"
     selfattention_layer_type: str = "legacy_rel_selfattn"
+    # "float32" (reference parity) or "bfloat16" (mixed precision: bf16
+    # matmuls/convs with fp32 params, fp32 softmax and norms)
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return None if self.compute_dtype == "float32" else jnp.dtype(
+            self.compute_dtype)
 
 
 class RelPosEncoding(nn.Module):
@@ -122,10 +130,11 @@ class ConformerBlock(nn.Module):
         if c.positionwise_layer_type == "conv1d":
             return MultiLayeredConv1d(
                 c.linear_units, c.positionwise_conv_kernel_size, c.dropout_rate,
-                name=name,
+                dtype=c.dtype, name=name,
             )
         return PositionwiseFeedForward(
-            c.linear_units, c.dropout_rate, c.activation_type, name=name
+            c.linear_units, c.dropout_rate, c.activation_type, dtype=c.dtype,
+            name=name,
         )
 
     @nn.compact
@@ -146,18 +155,21 @@ class ConformerBlock(nn.Module):
                 c.attention_heads,
                 c.attention_dropout_rate,
                 legacy=c.selfattention_layer_type == "legacy_rel_selfattn",
+                dtype=c.dtype,
                 name="self_attn",
             )(h, pos_emb, mask, deterministic=det)
         else:
             h = MultiHeadedAttention(
-                c.attention_heads, c.attention_dropout_rate, name="self_attn"
+                c.attention_heads, c.attention_dropout_rate, dtype=c.dtype,
+                name="self_attn",
             )(h, h, h, mask, deterministic=det)
         x = x + drop(h, deterministic=det)
 
         if c.use_cnn_module:
             h = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
             h = ConvolutionModule(
-                c.cnn_module_kernel, c.activation_type, name="conv_module"
+                c.cnn_module_kernel, c.activation_type, dtype=c.dtype,
+                name="conv_module",
             )(h, train)
             x = x + drop(h, deterministic=det)
 

@@ -61,14 +61,17 @@ class PositionwiseFeedForward(nn.Module):
     hidden: int
     dropout_rate: float
     activation: str = "swish"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         d = x.shape[-1]
-        h = nn.Dense(self.hidden, kernel_init=xavier(), bias_init=zeros)(x)
+        h = nn.Dense(self.hidden, kernel_init=xavier(), bias_init=zeros,
+                     dtype=self.dtype)(x)
         h = ACTIVATIONS[self.activation](h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Dense(d, kernel_init=xavier(), bias_init=zeros)(h)
+        return nn.Dense(d, kernel_init=xavier(), bias_init=zeros,
+                        dtype=self.dtype)(h)
 
 
 class MultiLayeredConv1d(nn.Module):
@@ -79,6 +82,7 @@ class MultiLayeredConv1d(nn.Module):
     hidden: int
     kernel_size: int
     dropout_rate: float
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -89,6 +93,7 @@ class MultiLayeredConv1d(nn.Module):
             padding="SAME",
             kernel_init=xavier(),
             bias_init=zeros,
+            dtype=self.dtype,
         )(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
@@ -98,6 +103,7 @@ class MultiLayeredConv1d(nn.Module):
             padding="SAME",
             kernel_init=xavier(),
             bias_init=zeros,
+            dtype=self.dtype,
         )(h)
 
 
@@ -108,11 +114,13 @@ class ConvolutionModule(nn.Module):
 
     kernel_size: int
     activation: str = "swish"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         d = x.shape[-1]
-        h = nn.Conv(2 * d, (1,), kernel_init=xavier(), bias_init=zeros)(x)
+        h = nn.Conv(2 * d, (1,), kernel_init=xavier(), bias_init=zeros,
+                    dtype=self.dtype)(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)  # GLU over the channel dim
         h = nn.Conv(
@@ -122,12 +130,17 @@ class ConvolutionModule(nn.Module):
             feature_group_count=d,
             kernel_init=xavier(),
             bias_init=zeros,
+            dtype=self.dtype,
         )(h)
+        # BatchNorm statistics stay float32 for stability
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5
-        )(h)
+        )(h.astype(jnp.float32))
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
         h = ACTIVATIONS[self.activation](h)
-        return nn.Conv(d, (1,), kernel_init=xavier(), bias_init=zeros)(h)
+        return nn.Conv(d, (1,), kernel_init=xavier(), bias_init=zeros,
+                       dtype=self.dtype)(h)
 
 
 class Postnet(nn.Module):
@@ -140,10 +153,11 @@ class Postnet(nn.Module):
     n_chans: int = 256
     n_filts: int = 5
     dropout_rate: float = 0.5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        h = x
+        h = x if self.dtype is None else x.astype(self.dtype)
         for _ in range(self.n_layers - 1):
             h = nn.Conv(
                 self.n_chans,
@@ -151,8 +165,12 @@ class Postnet(nn.Module):
                 padding="SAME",
                 use_bias=False,
                 kernel_init=xavier(),
+                dtype=self.dtype,
             )(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(
+                h.astype(jnp.float32))
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
             h = jnp.tanh(h)
             h = nn.Dropout(self.dropout_rate)(h, deterministic=not train)
         h = nn.Conv(
@@ -161,8 +179,10 @@ class Postnet(nn.Module):
             padding="SAME",
             use_bias=False,
             kernel_init=xavier(),
+            dtype=self.dtype,
         )(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(
+            h.astype(jnp.float32))
         h = nn.Dropout(self.dropout_rate)(h, deterministic=not train)
         return h
 

@@ -110,7 +110,7 @@ class A3TMLMModel(nn.Module):
         if c.postnet_layers > 0:
             self.postnet = Postnet(
                 c.odim, c.postnet_layers, c.postnet_chans, c.postnet_filts,
-                name="postnet")
+                dtype=c.encoder.dtype, name="postnet")
 
         if c.duration_predictor_layers > 0:
             self.duration_predictor = DurationPredictor(
@@ -135,11 +135,18 @@ class A3TMLMModel(nn.Module):
         c = self.config
         det = not train
 
+        dt = self.config.encoder.dtype
+        if dt is not None:
+            speech = speech.astype(dt)
         h_speech = self.speech_masked_input(speech, masked_position)
         h_speech = nn.relu(self.speech_norm(self.speech_proj(h_speech)))
+        if dt is not None:
+            h_speech = h_speech.astype(dt)
         h_speech, pos_speech = self.speech_posenc(h_speech, deterministic=det)
 
         h_text = self.text_embed(text)
+        if dt is not None:
+            h_text = h_text.astype(dt)
         h_text, pos_text = self.text_posenc(h_text, deterministic=det)
 
         if c.use_segment_emb:
@@ -200,7 +207,7 @@ class A3TMLMModel(nn.Module):
             )
         hidden = self.decode(enc_out, mask, train) if c.decoder is not None else enc_out
         speech_hidden = hidden[:, :n_frames]
-        before_outs = self.sfc(speech_hidden)
+        before_outs = self.sfc(speech_hidden).astype(jnp.float32)
         if c.postnet_layers > 0:
             after_outs = before_outs + self.postnet(before_outs, train)
         else:

@@ -1,0 +1,102 @@
+"""FastSpeech2 + GST tests (tiny configs)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from a3t_tpu.models.fastspeech2 import (
+    FastSpeech2,
+    FastSpeech2Config,
+    fastspeech2_loss,
+    length_regulate,
+    transformer_stack_config,
+)
+from a3t_tpu.models.gst import StyleEncoder
+
+
+def tiny_fs2(**kw):
+    enc = transformer_stack_config(adim=32, aheads=2, layers=1, units=64)
+    defaults = dict(
+        idim=30, odim=12, adim=32, encoder=enc, decoder=enc,
+        postnet_layers=2, postnet_chans=16,
+        duration_predictor_chans=16, variance_predictor_chans=16,
+        max_feat_len=64,
+    )
+    defaults.update(kw)
+    return FastSpeech2Config(**defaults)
+
+
+def test_length_regulate_semantics():
+    hs = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+    d = jnp.asarray([[2, 0, 3]], jnp.int32)
+    out, valid = length_regulate(hs, d, 8)
+    # phone 0 twice, phone 1 skipped, phone 2 three times, rest zero
+    expect = np.array([[0, 1], [0, 1], [4, 5], [4, 5], [4, 5],
+                       [0, 0], [0, 0], [0, 0]], np.float32)
+    np.testing.assert_allclose(np.asarray(out[0]), expect)
+    np.testing.assert_array_equal(np.asarray(valid[0]),
+                                  [1, 1, 1, 1, 1, 0, 0, 0])
+
+
+def test_fs2_forward_and_loss(rng):
+    cfg = tiny_fs2()
+    model = FastSpeech2(cfg)
+    b, t = 2, 7
+    text = jnp.asarray(rng.integers(1, 29, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    durs = jnp.asarray(rng.integers(1, 5, (b, t)), jnp.int32)
+    pitch = jnp.asarray(rng.standard_normal((b, t, 1)), jnp.float32)
+    energy = jnp.asarray(rng.standard_normal((b, t, 1)), jnp.float32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), text, mask, durations=durs, pitch=pitch,
+        energy=energy, train=False)
+    out = model.apply(variables, text, mask, durations=durs, pitch=pitch,
+                      energy=energy, train=False)
+    assert out["before"].shape == (b, cfg.max_feat_len, 12)
+    assert out["log_duration"].shape == (b, t)
+
+    targets = dict(
+        mel=jnp.asarray(rng.standard_normal(
+            (b, cfg.max_feat_len, 12)), jnp.float32),
+        durations=durs, pitch=pitch, energy=energy,
+    )
+    losses = fastspeech2_loss(out, targets, mask)
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_fs2_inference_duration_prediction(rng):
+    cfg = tiny_fs2(use_gst=True, spk_embed_dim=16)
+    model = FastSpeech2(cfg)
+    b, t = 1, 5
+    text = jnp.asarray(rng.integers(1, 29, (b, t)), jnp.int32)
+    mask = jnp.ones((b, t), bool)
+    speech = jnp.asarray(rng.standard_normal((b, 40, 12)), jnp.float32)
+    spembs = jnp.asarray(rng.standard_normal((b, 16)), jnp.float32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), text, mask, speech=speech, spembs=spembs,
+        train=False)
+    durs = model.apply(variables, text, mask, speech=speech, spembs=spembs,
+                       method=model.predict_durations)
+    assert durs.shape == (b, t)
+    assert (np.asarray(durs) >= 0).all()
+
+    out = model.apply(variables, text, mask, speech=speech, spembs=spembs,
+                      train=False)
+    assert out["after"].shape == (b, cfg.max_feat_len, 12)
+
+
+def test_gst_style_encoder(rng):
+    enc = StyleEncoder(gst_token_dim=32, gst_heads=2,
+                       conv_chans_list=(4, 8), gru_units=16)
+    speech = jnp.asarray(rng.standard_normal((2, 37, 12)), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), speech)
+    out = enc.apply(variables, speech)
+    assert out.shape == (2, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # different references give different styles
+    speech2 = speech * 3.0 + 1.0
+    out2 = enc.apply(variables, speech2)
+    assert np.abs(np.asarray(out - out2)).max() > 1e-5

@@ -1,0 +1,43 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+from a3t_tpu.ops import fused_logmel
+
+
+@pytest.mark.parametrize("cfg", [
+    LogMelConfig(fs=16000, n_fft=1024, hop_length=200, win_length=800),
+    LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                 n_mels=20, fmin=20, fmax=4000),
+])
+def test_fused_logmel_matches_reference(cfg, rng):
+    fe = LogMelFrontend(cfg)
+    n = cfg.hop_length * 70
+    audio = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+    lengths = np.array([n, n - 7 * cfg.hop_length], np.int32)
+
+    ref, ref_l = fe(jnp.asarray(audio), jnp.asarray(lengths))
+    got, got_l = fused_logmel(jnp.asarray(audio), cfg, jnp.asarray(lengths),
+                              interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=1e-3)
+
+
+def test_fused_logmel_frame_padding(rng):
+    """Frame counts not divisible by the tile are handled."""
+    cfg = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                       n_mels=20, fmin=20, fmax=4000)
+    fe = LogMelFrontend(cfg)
+    n = 80 * 37  # 38 frames, not a multiple of 64
+    audio = (rng.standard_normal((1, n)) * 0.1).astype(np.float32)
+    ref, _ = fe(jnp.asarray(audio))
+    got, _ = fused_logmel(jnp.asarray(audio), cfg, interpret=True)
+    assert got.shape == ref.shape == (1, 38, 20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=1e-3)
