@@ -1,0 +1,311 @@
+// Clean-room English letter-to-sound rule engine (C++17, no deps).
+//
+// Replaces the reference's english2phoneme C program
+// (tools/english2phoneme, driven by sedit_inference.py:263-298 and
+// align_english.py:69-98) for out-of-vocabulary words.  Uses the classic
+// NRL-style context-sensitive rewrite formalism (public-domain 1976 NRL
+// report): each rule is  left-context [ match ] right-context = phones,
+// with context meta-symbols:
+//
+//   #  word boundary            :  zero or more consonants
+//   ^  exactly one consonant    +  a front vowel (E, I, Y)
+//   .  a voiced consonant       %  a suffix (E, ER, ES, ED, ELY, ING)
+//   $  one vowel
+//
+// The rule tables below are original (not copied from the reference);
+// output is ARPAbet with stress digits matching the post-processed form the
+// A3T pipeline expects (AH0 for schwa, default stress 1 on full vowels).
+
+#include <cctype>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Rule {
+  const char* left;
+  const char* match;
+  const char* right;
+  const char* phones;
+};
+
+bool is_vowel(char c) {
+  return c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U';
+}
+bool is_cons(char c) { return c >= 'A' && c <= 'Z' && !is_vowel(c); }
+bool is_front(char c) { return c == 'E' || c == 'I' || c == 'Y'; }
+bool is_voiced(char c) {
+  return std::strchr("BDVGJLMNRWZ", c) != nullptr;
+}
+
+// Rules are grouped per first letter of `match`; within a group the first
+// matching rule wins, so specific patterns precede general ones.  A final
+// single-letter default must exist for every letter.
+const Rule kRules[] = {
+    // --- A ---
+    {"", "AIR", "", "EH1 R"},
+    {"", "AI", "", "EY1"},
+    {"", "AY", "", "EY1"},
+    {"", "AU", "", "AO1"},
+    {"#", "AL", "#", "AH0 L"},
+    {"", "AW", "", "AO1"},
+    {"", "AR", "#", "ER0"},
+    {"", "AR", "", "AA1 R"},
+    {"", "A", "^E#", "EY1"},
+    {"", "A", "^I#", "EY1"},
+    {"#:", "A", "#", "AH0"},
+    {"", "A", "", "AE1"},
+    // --- B ---
+    {"", "BB", "", "B"},
+    {"", "B", "#", "B"},
+    {"", "B", "", "B"},
+    // --- C ---
+    {"", "CH", "", "CH"},
+    {"", "CK", "", "K"},
+    {"", "C", "+", "S"},
+    {"", "CC", "", "K"},
+    {"", "C", "", "K"},
+    // --- D ---
+    {"", "DD", "", "D"},
+    {"#:^E", "D", "#", "D"},
+    {"", "D", "", "D"},
+    // --- E ---
+    {"#:", "E", "#", ""},
+    {"^", "E", "#", ""},  // silent final e
+    {"", "EAR", "", "IH1 R"},
+    {"", "EE", "", "IY1"},
+    {"", "EA", "", "IY1"},
+    {"", "EIGH", "", "EY1"},
+    {"", "EI", "", "IY1"},
+    {"", "EY", "", "IY1"},
+    {"", "EW", "", "UW1"},
+    {"", "ER", "#", "ER0"},
+    {"", "ER", "", "ER1"},
+    {"", "E", "", "EH1"},
+    // --- F ---
+    {"", "FF", "", "F"},
+    {"", "F", "", "F"},
+    // --- G ---
+    {"", "GG", "", "G"},
+    {"", "GH", "", ""},
+    {"", "G", "+", "JH"},
+    {"", "G", "", "G"},
+    // --- H ---
+    {"#", "H", "$", "HH"},
+    {"$", "H", "", ""},
+    {"", "H", "", "HH"},
+    // --- I ---
+    {"", "IGH", "", "AY1"},
+    {"", "IE", "#", "AY1"},
+    {"", "IR", "", "ER1"},
+    {"", "I", "^E#", "AY1"},
+    {"", "I", "ND#", "AY1"},
+    {"", "ING", "#", "IH0 NG"},
+    {"", "I", "", "IH1"},
+    // --- J ---
+    {"", "J", "", "JH"},
+    // --- K ---
+    {"#", "KN", "", "N"},
+    {"", "KK", "", "K"},
+    {"", "K", "", "K"},
+    // --- L ---
+    {"", "LL", "", "L"},
+    {"", "L", "", "L"},
+    // --- M ---
+    {"", "MM", "", "M"},
+    {"", "MB", "#", "M"},
+    {"", "M", "", "M"},
+    // --- N ---
+    {"", "NG", "", "NG"},
+    {"", "NN", "", "N"},
+    {"", "N", "", "N"},
+    // --- O ---
+    {"", "OUGH", "#", "OW1"},
+    {"", "OO", "K", "UH1"},
+    {"", "OO", "", "UW1"},
+    {"", "OA", "", "OW1"},
+    {"", "OY", "", "OY1"},
+    {"", "OI", "", "OY1"},
+    {"", "OU", "", "AW1"},
+    {"", "OW", "#", "OW1"},
+    {"", "OW", "", "AW1"},
+    {"", "OR", "", "AO1 R"},
+    {"", "O", "^E#", "OW1"},
+    {"", "O", "#", "OW1"},
+    {"", "O", "", "AA1"},
+    // --- P ---
+    {"", "PH", "", "F"},
+    {"", "PP", "", "P"},
+    {"", "P", "", "P"},
+    // --- Q ---
+    {"", "QU", "", "K W"},
+    {"", "Q", "", "K"},
+    // --- R ---
+    {"", "RR", "", "R"},
+    {"", "R", "", "R"},
+    // --- S ---
+    {"", "SH", "", "SH"},
+    {"", "SS", "", "S"},
+    {"#", "S", "", "S"},
+    {".", "S", "#", "Z"},
+    {"$", "S", "#", "Z"},
+    {"", "SION", "", "ZH AH0 N"},
+    {"", "S", "", "S"},
+    // --- T ---
+    {"", "TH", "", "TH"},
+    {"", "TT", "", "T"},
+    {"", "TION", "", "SH AH0 N"},
+    {"", "T", "", "T"},
+    // --- U ---
+    {"", "UR", "", "ER1"},
+    {"", "U", "^E#", "UW1"},
+    {"", "U", "", "AH1"},
+    // --- V ---
+    {"", "V", "", "V"},
+    // --- W ---
+    {"#", "WR", "", "R"},
+    {"", "WH", "", "W"},
+    {"", "W", "", "W"},
+    // --- X ---
+    {"#", "X", "", "Z"},
+    {"", "X", "", "K S"},
+    // --- Y ---
+    {"#", "Y", "", "Y"},
+    {"", "Y", "#", "IY0"},
+    {"", "Y", "", "IH1"},
+    // --- Z ---
+    {"", "ZZ", "", "Z"},
+    {"", "Z", "", "Z"},
+};
+
+// Match `pat` (context pattern) leftwards ending just before position pos.
+bool match_left(const std::string& w, int pos, const char* pat) {
+  int p = static_cast<int>(std::strlen(pat)) - 1;
+  int i = pos - 1;
+  while (p >= 0) {
+    const char c = pat[p];
+    if (c == '#') {
+      if (i >= 0) return false;
+      --p;
+    } else if (c == ':') {
+      while (i >= 0 && is_cons(w[i])) --i;
+      --p;
+    } else if (c == '^') {
+      if (i < 0 || !is_cons(w[i])) return false;
+      --i;
+      --p;
+    } else if (c == '+') {
+      if (i < 0 || !is_front(w[i])) return false;
+      --i;
+      --p;
+    } else if (c == '.') {
+      if (i < 0 || !is_voiced(w[i])) return false;
+      --i;
+      --p;
+    } else if (c == '$') {
+      if (i < 0 || !is_vowel(w[i])) return false;
+      --i;
+      --p;
+    } else {
+      if (i < 0 || w[i] != c) return false;
+      --i;
+      --p;
+    }
+  }
+  return true;
+}
+
+// Match `pat` rightwards starting at position pos.
+bool match_right(const std::string& w, int pos, const char* pat) {
+  const int n = static_cast<int>(w.size());
+  int i = pos;
+  for (const char* p = pat; *p; ++p) {
+    const char c = *p;
+    if (c == '#') {
+      if (i < n) return false;
+    } else if (c == ':') {
+      while (i < n && is_cons(w[i])) ++i;
+    } else if (c == '^') {
+      if (i >= n || !is_cons(w[i])) return false;
+      ++i;
+    } else if (c == '+') {
+      if (i >= n || !is_front(w[i])) return false;
+      ++i;
+    } else if (c == '.') {
+      if (i >= n || !is_voiced(w[i])) return false;
+      ++i;
+    } else if (c == '$') {
+      if (i >= n || !is_vowel(w[i])) return false;
+      ++i;
+    } else if (c == '%') {
+      // suffix: E | ER | ES | ED | ELY | ING
+      if (i < n && w[i] == 'E') {
+        ++i;
+        if (i < n && (w[i] == 'R' || w[i] == 'S' || w[i] == 'D')) ++i;
+        else if (i + 1 < n && w[i] == 'L' && w[i + 1] == 'Y') i += 2;
+      } else if (i + 2 < n && w[i] == 'I' && w[i + 1] == 'N' &&
+                 w[i + 2] == 'G') {
+        i += 3;
+      } else {
+        return false;
+      }
+    } else {
+      if (i >= n || w[i] != c) return false;
+      ++i;
+    }
+  }
+  return true;
+}
+
+std::string convert_word(const std::string& raw) {
+  std::string w;
+  for (char c : raw) {
+    if (std::isalpha(static_cast<unsigned char>(c))) {
+      w.push_back(static_cast<char>(std::toupper(c)));
+    }
+  }
+  if (w.empty()) return "";
+
+  std::string out;
+  int pos = 0;
+  const int n = static_cast<int>(w.size());
+  const int n_rules = sizeof(kRules) / sizeof(kRules[0]);
+  while (pos < n) {
+    bool applied = false;
+    for (int r = 0; r < n_rules; ++r) {
+      const Rule& rule = kRules[r];
+      const int mlen = static_cast<int>(std::strlen(rule.match));
+      if (rule.match[0] != w[pos]) continue;
+      if (pos + mlen > n) continue;
+      if (std::strncmp(w.c_str() + pos, rule.match, mlen) != 0) continue;
+      if (!match_left(w, pos, rule.left)) continue;
+      if (!match_right(w, pos + mlen, rule.right)) continue;
+      if (rule.phones[0] != '\0') {
+        if (!out.empty()) out.push_back(' ');
+        out += rule.phones;
+      }
+      pos += mlen;
+      applied = true;
+      break;
+    }
+    if (!applied) ++pos;  // unknown character: skip
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Converts a single word; writes a space-joined ARPAbet string into `out`
+// (capacity `cap`). Returns the number of bytes written (excluding NUL), or
+// -1 if the buffer is too small.
+int g2p_word(const char* word, char* out, int cap) {
+  const std::string phones = convert_word(word);
+  if (static_cast<int>(phones.size()) + 1 > cap) return -1;
+  std::memcpy(out, phones.c_str(), phones.size() + 1);
+  return static_cast<int>(phones.size());
+}
+
+}  // extern "C"

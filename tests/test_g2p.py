@@ -1,0 +1,77 @@
+"""Letter-to-sound tests (python fallback + native C++ engine)."""
+
+import numpy as np
+import pytest
+
+from a3t_tpu.text.g2p import letter_to_sound as py_g2p
+from a3t_tpu.text.native_g2p import letter_to_sound as native_g2p
+
+ARPABET = {
+    "AA", "AE", "AH", "AO", "AW", "AY", "B", "CH", "D", "DH", "EH", "ER",
+    "EY", "F", "G", "HH", "IH", "IY", "JH", "K", "L", "M", "N", "NG", "OW",
+    "OY", "P", "R", "S", "SH", "T", "TH", "UH", "UW", "V", "W", "Y", "Z",
+    "ZH",
+}
+
+
+def _valid(phones):
+    for p in phones:
+        base = p.rstrip("012")
+        assert base in ARPABET, f"invalid phone {p}"
+
+
+CASES = {
+    # word: phones that must appear (subsequence, base phones)
+    "cat": ["K", "AE", "T"],
+    "ship": ["SH", "IH", "P"],
+    "think": ["TH", "IH", "NG", "K"],
+    "phone": ["F", "OW", "N"],
+    "quick": ["K", "W", "IH", "K"],
+    "judge": ["JH"],
+    "know": ["N", "OW"],
+    "church": ["CH", "ER", "CH"],
+    "see": ["S", "IY"],
+    "day": ["D", "EY"],
+    "boy": ["B", "OY"],
+    "out": ["AW", "T"],
+}
+
+
+def _bases(phones):
+    return [p.rstrip("012") for p in phones]
+
+
+@pytest.mark.parametrize("engine", [py_g2p, native_g2p],
+                         ids=["python", "native"])
+def test_g2p_outputs_valid_arpabet(engine):
+    for word in ["hello", "world", "extraordinary", "xylophone", "rhythm",
+                 "queue", "gnome"]:
+        phones = engine(word)
+        assert len(phones) > 0
+        _valid(phones)
+
+
+def test_native_g2p_common_words():
+    hits = 0
+    for word, expect in CASES.items():
+        got = _bases(native_g2p(word))
+        # expected phones appear in order as a subsequence
+        it = iter(got)
+        if all(p in it for p in expect):
+            hits += 1
+    # the rule engine is approximate; require most common patterns correct
+    assert hits >= len(CASES) * 0.75, (
+        {w: native_g2p(w) for w in CASES})
+
+
+def test_native_g2p_silent_letters():
+    assert _bases(native_g2p("knee"))[0] == "N"
+    assert _bases(native_g2p("wrist"))[0] == "R"
+    # silent final e
+    assert _bases(native_g2p("make"))[-1] == "K"
+
+
+def test_native_g2p_handles_garbage():
+    assert native_g2p("") == ["AH0"]
+    assert len(native_g2p("zzzzqqq")) > 0
+    _valid(native_g2p("a1b2c3"))
