@@ -19,6 +19,7 @@ from a3t_tpu.models.attention import (
     MultiHeadedAttention,
     RelPositionMultiHeadedAttention,
 )
+from a3t_tpu.models.windowed_attention import WindowedSelfAttention
 from a3t_tpu.models.layers import (
     MultiLayeredConv1d,
     PositionwiseFeedForward,
@@ -50,8 +51,13 @@ class EncoderConfig:
     positionwise_conv_kernel_size: int = 3
     activation_type: str = "swish"
     # "legacy_rel_selfattn" (the trained A3T path, see tasks/mlm.py:366-392)
-    # | "rel_selfattn" | "selfattn"
+    # | "rel_selfattn" | "selfattn" | "longformer" (sliding window + global
+    # text tokens, the long-audio path — transformer/encoder.py:522-563)
     selfattention_layer_type: str = "legacy_rel_selfattn"
+    attention_window: int = 0  # full window size for "longformer"
+    # speech-only pre-encoder layers before the text concat
+    # (transformer/encoder.py:538-563, pre_speech_layer)
+    pre_speech_layers: int = 0
     # "float32" (reference parity) or "bfloat16" (mixed precision: bf16
     # matmuls/convs with fp32 params, fp32 softmax and norms)
     compute_dtype: str = "float32"
@@ -138,7 +144,7 @@ class ConformerBlock(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask, train: bool):
+    def __call__(self, x, pos_emb, mask, train: bool, n_frames=None):
         c = self.config
         det = not train
         drop = nn.Dropout(c.dropout_rate)
@@ -150,7 +156,15 @@ class ConformerBlock(nn.Module):
             x = x + ff_scale * drop(h, deterministic=det)
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
-        if c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):
+        if c.selfattention_layer_type == "longformer":
+            flat_mask = mask[:, 0] if mask is not None and mask.ndim == 3 \
+                else mask
+            h = WindowedSelfAttention(
+                c.attention_heads, c.attention_window,
+                c.attention_dropout_rate, dtype=c.dtype, name="self_attn",
+            )(h, n_frames if n_frames is not None else h.shape[1],
+              flat_mask, deterministic=det)
+        elif c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):
             h = RelPositionMultiHeadedAttention(
                 c.attention_heads,
                 c.attention_dropout_rate,
@@ -183,15 +197,21 @@ class ConformerBlock(nn.Module):
 
 
 class ConformerStack(nn.Module):
-    """num_blocks ConformerBlocks + optional final LayerNorm."""
+    """num_blocks ConformerBlocks + optional final LayerNorm.
+
+    ``apply_final_norm=False`` is used for the speech-only pre-encoder,
+    which shares block structure but has no after_norm of its own
+    (transformer/encoder.py:547-548)."""
 
     config: EncoderConfig
+    apply_final_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask, train: bool):
+    def __call__(self, x, pos_emb, mask, train: bool, n_frames=None):
         c = self.config
         for i in range(c.num_blocks):
-            x = ConformerBlock(c, name=f"block_{i}")(x, pos_emb, mask, train)
-        if c.normalize_before:
+            x = ConformerBlock(c, name=f"block_{i}")(
+                x, pos_emb, mask, train, n_frames=n_frames)
+        if c.normalize_before and self.apply_final_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
         return x

@@ -26,7 +26,35 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from a3t_tpu.models.conformer import ConformerStack, EncoderConfig, RelPosEncoding
+from a3t_tpu.models.conformer import (
+    AbsPosEncoding,
+    ConformerStack,
+    EncoderConfig,
+    RelPosEncoding,
+)
+
+
+class _PosEnc(nn.Module):
+    """Positional encoding dispatch: rel-pos variants return (x, pos_emb);
+    absolute (used by selfattn/longformer stacks, embedding.py:35-94)
+    returns (x, None)."""
+
+    d_model: int
+    dropout_rate: float
+    kind: str  # "legacy_rel" | "rel" | "abs"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.kind == "abs":
+            return (
+                AbsPosEncoding(self.d_model, self.dropout_rate,
+                               name="abs")(x, deterministic=deterministic),
+                None,
+            )
+        return RelPosEncoding(
+            self.d_model, self.dropout_rate,
+            legacy=self.kind == "legacy_rel", name="rel",
+        )(x, deterministic=deterministic)
 from a3t_tpu.models.layers import (
     DurationPredictor,
     MaskedInput,
@@ -77,7 +105,10 @@ class A3TMLMModel(nn.Module):
         c = self.config
         enc = c.encoder
         d = enc.attention_dim
-        legacy = enc.selfattention_layer_type == "legacy_rel_selfattn"
+        kind = {
+            "legacy_rel_selfattn": "legacy_rel",
+            "rel_selfattn": "rel",
+        }.get(enc.selfattention_layer_type, "abs")
 
         # speech_embed = MaskedInput -> Linear -> LayerNorm -> ReLU -> posenc
         # (conformer/encoder.py:399-407, mySequential over NewMaskInputLayer)
@@ -85,23 +116,31 @@ class A3TMLMModel(nn.Module):
         self.speech_proj = nn.Dense(d, kernel_init=xavier(), bias_init=zeros,
                                     name="speech_proj")
         self.speech_norm = nn.LayerNorm(epsilon=1e-5, name="speech_norm")
-        self.speech_posenc = RelPosEncoding(d, enc.positional_dropout_rate,
-                                            legacy=legacy, name="speech_posenc")
+        self.speech_posenc = _PosEnc(d, enc.positional_dropout_rate, kind,
+                                     name="speech_posenc")
 
         self.text_embed = nn.Embed(c.vocab_size, d, embedding_init=normal_init,
                                    name="text_embed")
-        self.text_posenc = RelPosEncoding(d, enc.positional_dropout_rate,
-                                          legacy=legacy, name="text_posenc")
+        self.text_posenc = _PosEnc(d, enc.positional_dropout_rate, kind,
+                                   name="text_posenc")
 
         if c.use_segment_emb:
             self.segment_emb = nn.Embed(c.segment_vocab, d,
                                         embedding_init=normal_init,
                                         name="segment_emb")
 
+        if enc.pre_speech_layers > 0:
+            pre_cfg = dataclasses.replace(enc, num_blocks=enc.pre_speech_layers)
+            self.pre_speech_encoders = ConformerStack(
+                pre_cfg, apply_final_norm=False, name="pre_speech_encoders")
         self.encoder = ConformerStack(enc, name="encoder")
         if c.decoder is not None:
-            self.decoder_posenc = RelPosEncoding(
-                d, c.decoder.positional_dropout_rate, legacy=legacy,
+            dec_kind = {
+                "legacy_rel_selfattn": "legacy_rel",
+                "rel_selfattn": "rel",
+            }.get(c.decoder.selfattention_layer_type, "abs")
+            self.decoder_posenc = _PosEnc(
+                d, c.decoder.positional_dropout_rate, dec_kind,
                 name="decoder_posenc")
             self.decoder = ConformerStack(c.decoder, name="decoder")
 
@@ -158,13 +197,23 @@ class A3TMLMModel(nn.Module):
                 h_speech = h_speech + self.segment_emb(speech_segment_pos)
                 h_text = h_text + self.segment_emb(text_segment_pos)
 
+        n_frames = speech.shape[1]
+        if c.encoder.pre_speech_layers > 0:
+            # speech-only windowed pre-encoder (transformer/encoder.py:538-563)
+            h_speech = self.pre_speech_encoders(
+                h_speech, pos_speech, speech_mask[:, None, :], train,
+                n_frames=n_frames)
+
         x = jnp.concatenate([h_speech, h_text], axis=1)
-        pos_emb = jnp.concatenate([pos_speech, pos_text], axis=1)
+        if pos_speech is None:
+            pos_emb = None
+        else:
+            pos_emb = jnp.concatenate([pos_speech, pos_text], axis=1)
         mask = jnp.concatenate([speech_mask, text_mask], axis=1)[:, None, :]
 
-        return self.encoder(x, pos_emb, mask, train), mask
+        return self.encoder(x, pos_emb, mask, train, n_frames=n_frames), mask
 
-    def decode(self, x, mask, train: bool = False):
+    def decode(self, x, mask, train: bool = False, n_frames=None):
         """Refinement ("decoder") stack over the concatenated hidden states.
 
         MLMDecoder with input_layer=None re-applies scaling + a fresh
@@ -172,7 +221,7 @@ class A3TMLMModel(nn.Module):
         (conformer/encoder.py:568-614, tasks/mlm.py:405-411).
         """
         x, pos_full = self.decoder_posenc(x, deterministic=not train)
-        return self.decoder(x, pos_full, mask, train)
+        return self.decoder(x, pos_full, mask, train, n_frames=n_frames)
 
     def __call__(
         self,
@@ -205,7 +254,10 @@ class A3TMLMModel(nn.Module):
                 enc_out[:, :n_frames], pad_mask=~speech_mask,
                 deterministic=not train,
             )
-        hidden = self.decode(enc_out, mask, train) if c.decoder is not None else enc_out
+        hidden = (
+            self.decode(enc_out, mask, train, n_frames=n_frames)
+            if c.decoder is not None else enc_out
+        )
         speech_hidden = hidden[:, :n_frames]
         before_outs = self.sfc(speech_hidden).astype(jnp.float32)
         if c.postnet_layers > 0:

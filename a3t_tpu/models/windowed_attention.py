@@ -1,0 +1,145 @@
+"""Sliding-window (Longformer-style) attention with global text tokens.
+
+The reference's long-audio path (transformer MLM encoder with
+``selfattention_layer_type='longformer'``, espnet transformer/encoder.py:
+522-563 + attention.py:311-920) gives speech frames a +/- w/2 local window
+and makes text tokens *global* (mask value 2, collate_fn.py:250): text
+attends everywhere, and every frame also attends to all text.
+
+The reference implements this with HuggingFace-style chunked matmuls plus an
+optional TVM-compiled CUDA banded kernel (diagonaled_mm_tvm.py) — the one
+custom kernel in the repo.  Here the same banded structure is expressed as
+static chunked einsums (3 diagonal key-chunks per query chunk), which XLA
+tiles straight onto the MXU; cost is O(T * 3w) instead of O(T^2).
+
+Layout convention matches the MLM encoder: the sequence is
+``[speech (n_frames) ; text (n_text)]`` and ``n_frames % (w/2) == 0``
+(the batcher pads to the window, pad_to_longformer_att_window analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+from a3t_tpu.models.layers import xavier, zeros
+
+
+def _chunk_bands(x: jnp.ndarray, n_chunks: int, c: int):
+    """(B, T, H, D) -> (B, nc, 3c, H, D): each chunk with its neighbours.
+
+    Chunk i sees chunks [i-1, i, i+1]; out-of-range neighbours are zeros
+    (their scores get masked).
+    """
+    b, t, h, d = x.shape
+    xc = x.reshape(b, n_chunks, c, h, d)
+    zerosc = jnp.zeros_like(xc[:, :1])
+    prev = jnp.concatenate([zerosc, xc[:, :-1]], axis=1)
+    nxt = jnp.concatenate([xc[:, 1:], zerosc], axis=1)
+    return jnp.concatenate([prev, xc, nxt], axis=2)  # (B, nc, 3c, H, D)
+
+
+def _band_valid(n_chunks: int, c: int) -> np.ndarray:
+    """(nc, 3c) mask of structurally-valid band positions."""
+    valid = np.ones((n_chunks, 3 * c), bool)
+    valid[0, :c] = False  # no previous chunk
+    valid[-1, 2 * c:] = False  # no next chunk
+    return valid
+
+
+class WindowedSelfAttention(nn.Module):
+    """MHA where the first ``n_frames`` tokens use a +/- w/2 band and the
+    rest (text) are global.
+
+    Args to __call__:
+        x:         (B, T, d_model), T = n_frames + n_text
+        n_frames:  static split point
+        mask:      (B, T) validity (non-pad)
+    """
+
+    n_head: int
+    window: int  # full window; half-window c = window // 2
+    dropout_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, n_frames: int, mask=None,
+                 deterministic: bool = True):
+        d_model = x.shape[-1]
+        d_k = d_model // self.n_head
+        c = self.window // 2
+        b, t, _ = x.shape
+        n_text = t - n_frames
+        if n_frames % c != 0:
+            raise ValueError(
+                f"n_frames {n_frames} must be a multiple of half-window {c}")
+        nc = n_frames // c
+
+        def proj(y, name):
+            out = nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
+                           dtype=self.dtype, name=name)(y)
+            return out.reshape(*out.shape[:-1], self.n_head, d_k)
+
+        q = proj(x, "linear_q")
+        k = proj(x, "linear_k")
+        v = proj(x, "linear_v")
+        scale = 1.0 / np.sqrt(d_k)
+
+        if mask is None:
+            mask = jnp.ones((b, t), bool)
+        mask = mask != 0
+        sp_mask, tx_mask = mask[:, :n_frames], mask[:, n_frames:]
+
+        q_sp, q_tx = q[:, :n_frames], q[:, n_frames:]
+        k_sp, k_tx = k[:, :n_frames], k[:, n_frames:]
+        v_sp, v_tx = v[:, :n_frames], v[:, n_frames:]
+
+        neg = jnp.finfo(jnp.float32).min
+
+        # ---- speech queries: banded over speech + full over text --------
+        qc = q_sp.reshape(b, nc, c, self.n_head, d_k)
+        kb = _chunk_bands(k_sp, nc, c)
+        vb = _chunk_bands(v_sp, nc, c)
+        band_scores = jnp.einsum(
+            "bnchd,bnkhd->bnhck", qc, kb,
+            preferred_element_type=jnp.float32) * scale  # (B,nc,H,c,3c)
+
+        band_ok = jnp.asarray(_band_valid(nc, c))[None, :, None, None, :]
+        key_ok = _chunk_bands(
+            sp_mask[..., None, None].astype(jnp.float32), nc, c
+        )[..., 0, 0] > 0  # (B, nc, 3c)
+        band_mask = band_ok & key_ok[:, :, None, None, :]
+        band_scores = jnp.where(band_mask, band_scores, neg)
+
+        text_scores = jnp.einsum(
+            "bnchd,bshd->bnhcs", qc, k_tx,
+            preferred_element_type=jnp.float32) * scale  # (B,nc,H,c,Tt)
+        text_scores = jnp.where(
+            tx_mask[:, None, None, None, :], text_scores, neg)
+
+        all_scores = jnp.concatenate([band_scores, text_scores], axis=-1)
+        attn = nn.softmax(all_scores, axis=-1)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        a_band, a_text = attn[..., : 3 * c], attn[..., 3 * c:]
+        out_sp = jnp.einsum("bnhck,bnkhd->bnchd", a_band.astype(v.dtype), vb)
+        out_sp = out_sp + jnp.einsum(
+            "bnhcs,bshd->bnchd", a_text.astype(v.dtype), v_tx)
+        out_sp = out_sp.reshape(b, n_frames, self.n_head, d_k)
+
+        # ---- text queries: full attention over everything ---------------
+        full_scores = jnp.einsum(
+            "bthd,bshd->bhts", q_tx, k,
+            preferred_element_type=jnp.float32) * scale
+        full_scores = jnp.where(mask[:, None, None, :], full_scores, neg)
+        attn_tx = nn.softmax(full_scores, axis=-1)
+        attn_tx = nn.Dropout(self.dropout_rate)(
+            attn_tx, deterministic=deterministic)
+        out_tx = jnp.einsum("bhts,bshd->bthd", attn_tx.astype(v.dtype), v)
+
+        out = jnp.concatenate([out_sp, out_tx], axis=1)
+        out = out.reshape(b, t, d_model)
+        return nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
+                        dtype=self.dtype, name="linear_out")(out)

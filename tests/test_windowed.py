@@ -1,0 +1,86 @@
+"""Windowed (Longformer-style) attention tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from a3t_tpu.models import A3TMLMModel, A3TModelConfig, EncoderConfig
+from a3t_tpu.models.windowed_attention import WindowedSelfAttention
+
+
+def test_windowed_matches_full_attention_semantics(rng):
+    """With the band covering everything, windowed == full attention over
+    valid keys (same projections)."""
+    b, n_frames, n_text, d, h = 1, 8, 4, 16, 2
+    x = jnp.asarray(rng.standard_normal((b, n_frames + n_text, d)),
+                    jnp.float32)
+    mask = jnp.ones((b, n_frames + n_text), bool)
+
+    # window 2*n_frames: every chunk sees all speech; text is global anyway
+    attn = WindowedSelfAttention(h, window=2 * n_frames)
+    variables = attn.init(jax.random.PRNGKey(0), x, n_frames, mask)
+    out_windowed = attn.apply(variables, x, n_frames, mask)
+
+    # manual full attention with the same parameters
+    p = variables["params"]
+
+    def proj(name):
+        w = np.asarray(p[name]["kernel"])
+        bb = np.asarray(p[name]["bias"])
+        return (np.asarray(x[0]) @ w + bb).reshape(n_frames + n_text, h, d // h)
+
+    q, k, v = proj("linear_q"), proj("linear_k"), proj("linear_v")
+    scores = np.einsum("thd,shd->hts", q, k) / np.sqrt(d // h)
+    w_attn = np.exp(scores - scores.max(-1, keepdims=True))
+    w_attn /= w_attn.sum(-1, keepdims=True)
+    ref = np.einsum("hts,shd->thd", w_attn, v).reshape(-1, d)
+    ref = ref @ np.asarray(p["linear_out"]["kernel"]) + np.asarray(
+        p["linear_out"]["bias"])
+
+    np.testing.assert_allclose(np.asarray(out_windowed[0]), ref, atol=2e-5)
+
+
+def test_windowed_band_locality(rng):
+    """A distant speech key outside the band must not influence a query."""
+    b, n_frames, n_text, d, h, window = 1, 32, 4, 16, 2, 8
+    x = rng.standard_normal((b, n_frames + n_text, d)).astype(np.float32)
+    mask = jnp.ones((b, n_frames + n_text), bool)
+    attn = WindowedSelfAttention(h, window=window)
+    variables = attn.init(jax.random.PRNGKey(0), jnp.asarray(x), n_frames, mask)
+    out1 = np.asarray(attn.apply(variables, jnp.asarray(x), n_frames, mask))
+
+    x2 = x.copy()
+    x2[0, 30] += 10.0  # far outside query 0's band (chunk 7 vs chunk 0)
+    out2 = np.asarray(attn.apply(variables, jnp.asarray(x2), n_frames, mask))
+    np.testing.assert_allclose(out1[0, 0], out2[0, 0], atol=1e-5)
+    # but a text key change affects everyone (global)
+    x3 = x.copy()
+    x3[0, n_frames + 1] += 10.0
+    out3 = np.asarray(attn.apply(variables, jnp.asarray(x3), n_frames, mask))
+    assert np.abs(out3[0, 0] - out1[0, 0]).max() > 1e-4
+
+
+def test_longformer_model_variant(rng):
+    enc = EncoderConfig(
+        attention_dim=32, attention_heads=2, linear_units=64, num_blocks=1,
+        cnn_module_kernel=7, selfattention_layer_type="longformer",
+        attention_window=16, pre_speech_layers=1,
+    )
+    model = A3TMLMModel(A3TModelConfig(
+        odim=8, vocab_size=20, encoder=enc, decoder=enc, postnet_layers=0))
+    b, f, t = 2, 32, 6
+    batch = dict(
+        speech=jnp.asarray(rng.standard_normal((b, f, 8)), jnp.float32),
+        text=jnp.asarray(rng.integers(0, 20, (b, t)), jnp.int32),
+        masked_position=jnp.asarray(rng.random((b, f)) < 0.4),
+        speech_mask=jnp.ones((b, f), bool),
+        text_mask=jnp.ones((b, t), bool),
+        speech_segment_pos=jnp.zeros((b, f), jnp.int32),
+        text_segment_pos=jnp.zeros((b, t), jnp.int32),
+    )
+    variables = model.init(jax.random.PRNGKey(0), **batch, train=False)
+    before, after, _ = model.apply(variables, **batch, train=False)
+    assert before.shape == (b, f, 8)
+    assert np.isfinite(np.asarray(before)).all()
+    assert "pre_speech_encoders" in variables["params"]
