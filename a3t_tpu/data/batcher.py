@@ -51,6 +51,9 @@ class BatcherConfig:
     # round batch sizes up to a multiple of this (the data-parallel degree,
     # so every device gets an equal slice)
     batch_multiple: int = 1
+    # duration-aware TTS variant: also emit durations + reordered_index
+    # (espnet2/train/collate_fn.py:267-271, duration_collect)
+    duration_collect: bool = False
 
 
 class BucketBatcher:
@@ -138,6 +141,8 @@ class BucketBatcher:
         b = pad_to_batch if pad_to_batch is not None else spec.batch_size
         hop = self.fe.hop_length
 
+        speech_only = getattr(self.dataset, "speech_only", False)
+
         audio = np.zeros((b, spec.n_samples), np.float32)
         audio_lengths = np.zeros(b, np.int32)
         text = np.zeros((b, spec.n_text), np.int32)
@@ -145,6 +150,11 @@ class BucketBatcher:
         masked = np.zeros((b, spec.n_frames), bool)
         ssp = np.zeros((b, spec.n_frames), np.int32)
         tsp = np.zeros((b, spec.n_text), np.int32)
+        if cfg.duration_collect:
+            durations = np.ones((b, spec.n_frames), np.int32)
+            reordered = np.tile(np.arange(spec.n_frames, dtype=np.int32),
+                                (b, 1))
+            reduced_lengths = np.zeros(b, np.int32)
 
         for i, uid in enumerate(uids):
             item = self.dataset[uid]
@@ -153,13 +163,18 @@ class BucketBatcher:
             audio_lengths[i] = len(wav)
             n_f = 1 + len(wav) // hop
 
-            ids = item.get("text_ids")
-            if ids is None:
-                # speech-only: sentinel handled by the task layer
+            if speech_only:
+                # sentinel text token; frame-span T5 masking with the
+                # reference's speech-only settings (collate_fn.py:222-231)
                 t_len = 0
                 starts = ends = np.zeros(0, np.int32)
+                text[i, 0] = 1
+                text_mask[i, 0] = True
+                masked[i] = phones_masking(
+                    spec.n_frames, starts, ends, 0, 0.15, 0, rng,
+                    span_boundary=span_boundary)
             else:
-                ids = ids[: spec.n_text]
+                ids = item["text_ids"][: spec.n_text]
                 t_len = len(ids)
                 text[i, :t_len] = ids
                 text_mask[i, :t_len] = True
@@ -167,19 +182,27 @@ class BucketBatcher:
                 ends = self.fe.seconds_to_frames(item["align_end_sec"])[:t_len]
                 starts = np.minimum(starts, n_f)
                 ends = np.minimum(ends, n_f)
-
-            masked[i] = phones_masking(
-                spec.n_frames, starts, ends, t_len,
-                cfg.mlm_prob * cfg.mlm_prob_factor, cfg.mean_phn_span, rng,
-                span_boundary=span_boundary,
-            )
+                masked[i] = phones_masking(
+                    spec.n_frames, starts, ends, t_len,
+                    cfg.mlm_prob * cfg.mlm_prob_factor, cfg.mean_phn_span,
+                    rng, span_boundary=span_boundary,
+                )
             masked[i, n_f:] = False
             s, t = segment_positions(spec.n_frames, spec.n_text, starts, ends, t_len)
             ssp[i], tsp[i] = s, t
 
+            if cfg.duration_collect and t_len > 0:
+                from a3t_tpu.masking.alignment import duration_reduction
+
+                ri, du, rl = duration_reduction(
+                    spec.n_frames, starts, ends, t_len, masked[i], n_f)
+                reordered[i] = ri
+                durations[i] = du
+                reduced_lengths[i] = rl
+
         # empty slots (batch padding): leave zeros; text_mask all False keeps
         # them out of attention, masked=False keeps them out of the loss.
-        return dict(
+        out = dict(
             audio=audio,
             audio_lengths=audio_lengths,
             text=text,
@@ -188,6 +211,11 @@ class BucketBatcher:
             speech_segment_pos=ssp,
             text_segment_pos=tsp,
         )
+        if cfg.duration_collect:
+            out["durations"] = durations
+            out["reordered_index"] = reordered
+            out["reduced_lengths"] = reduced_lengths
+        return out
 
     # ------------------------------------------------------------------
     def epoch_iterator(self, epoch: int, shard: tuple[int, int] = (0, 1)):

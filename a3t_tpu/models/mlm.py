@@ -266,6 +266,58 @@ class A3TMLMModel(nn.Module):
             after_outs = None
         return before_outs, after_outs, log_durations
 
+    def tts_forward(
+        self,
+        speech,  # (B, R, odim) duration-REDUCED mel (first frame per phone)
+        text,
+        masked_position,  # (B, R) reduced
+        speech_mask,  # (B, R) reduced validity
+        text_mask,
+        speech_segment_pos,  # (B, R) reduced
+        text_segment_pos,
+        durations,  # (B, R) frames per reduced position (1 for unmasked)
+        out_frames: int,  # static full-resolution frame count
+        train: bool = False,
+    ):
+        """Duration-aware TTS variant forward (ESPnetMLMTTSModel._forward,
+        sedit_model.py:415-452).
+
+        The encoder runs over the *reduced* sequence (masked phones
+        collapsed to their first frame); the predicted/target durations
+        length-regulate the encoder output back to frame resolution before
+        the decoder, so ``before/after`` align with the full-resolution
+        target mel.  TPU-first deviation: the text tokens are re-appended
+        after the statically-padded expanded speech (the reference appends
+        them after the dynamic speech length).
+        """
+        c = self.config
+        n_red = speech.shape[1]
+        enc_out, _ = self.encode(
+            speech, text, masked_position, speech_mask, text_mask,
+            speech_segment_pos, text_segment_pos, train=train,
+        )
+        log_d = self.duration_predictor(
+            enc_out[:, :n_red], pad_mask=~speech_mask, deterministic=not train)
+
+        from a3t_tpu.models.fastspeech2 import length_regulate
+
+        d = (durations * speech_mask).astype(jnp.int32)
+        expanded, frame_valid = length_regulate(
+            enc_out[:, :n_red], d, out_frames)
+        full = jnp.concatenate([expanded, enc_out[:, n_red:]], axis=1)
+        full_mask = jnp.concatenate([frame_valid, text_mask], axis=1)[:, None, :]
+
+        hidden = (
+            self.decode(full, full_mask, train, n_frames=out_frames)
+            if c.decoder is not None else full
+        )
+        speech_hidden = hidden[:, :out_frames]
+        before_outs = self.sfc(speech_hidden).astype(jnp.float32)
+        after_outs = None
+        if c.postnet_layers > 0:
+            after_outs = before_outs + self.postnet(before_outs, train)
+        return before_outs, after_outs, log_d
+
 
 def mlm_loss(before_outs, after_outs, target, masked_position, use_mse=False):
     """Masked reconstruction loss (sedit_model.py:320-340).

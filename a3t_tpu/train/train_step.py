@@ -157,6 +157,74 @@ def make_train_step(
     )
 
 
+def make_tts_train_step(
+    model: A3TMLMModel,
+    frontend: LogMelFrontend,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Train step for the duration-aware TTS variant (ESPnetMLMTTSModel,
+    sedit_model.py:454-503): gathers the duration-reduced sequence with the
+    batcher's ``reordered_index``, runs ``tts_forward`` (encoder on reduced
+    frames, length-regulated decoder), and adds the masked duration loss."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        mb = featurize(frontend, batch)
+        n_f = mb["speech"].shape[1]
+        ri = batch["reordered_index"]
+
+        def red(x):
+            return jnp.take_along_axis(x, ri, axis=1)
+
+        reduced_valid = (
+            jnp.arange(n_f)[None, :] < batch["reduced_lengths"][:, None]
+        ) & red(mb["speech_mask"])
+        reduced = dict(
+            speech=jnp.take_along_axis(mb["speech"], ri[..., None], axis=1),
+            text=mb["text"],
+            masked_position=red(mb["masked_position"]) & reduced_valid,
+            speech_mask=reduced_valid,
+            text_mask=mb["text_mask"],
+            speech_segment_pos=red(mb["speech_segment_pos"]),
+            text_segment_pos=mb["text_segment_pos"],
+            durations=red(batch["durations"]),
+        )
+        (before, after, log_d), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            **reduced,
+            out_frames=n_f,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+            method=model.tts_forward,
+        )
+        loss_mlm = mlm_loss(
+            before, after, mb["speech"], mb["masked_position"],
+            use_mse=model.config.use_mse_loss,
+        )
+        w = reduced["masked_position"].astype(jnp.float32)
+        dl = duration_loss_fn(log_d, reduced["durations"])
+        dl = (dl * w).sum() / (w.sum() + 1e-10)
+        loss = loss_mlm + dl
+        stats = {"loss": loss, "loss_mlm": loss_mlm, "loss_duration": dl}
+        return loss, (updates["batch_stats"], stats)
+
+    def step_fn(state: TrainState, batch: dict, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        stats["grad_norm"] = optax.global_norm(grads)
+        return state.apply_gradients(grads, new_stats), stats
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, batch_sharding(mesh), replicated(mesh)),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def make_eval_step(model, frontend, mesh=None, speech_only: bool = False):
     """Validation step (no grads, running batch stats)."""
 

@@ -30,6 +30,16 @@ from a3t_tpu.train.reporter import Reporter
 logger = logging.getLogger("a3t_tpu")
 
 
+def _batch_weight(batch) -> float:
+    """Batch size for weighted stat averaging; handles (corpus, batch)
+    tuples from the multi-corpus factory."""
+    if isinstance(batch, tuple):
+        batch = batch[1]
+    if isinstance(batch, dict) and "audio" in batch:
+        return float(batch["audio"].shape[0])
+    return 1.0
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     max_epoch: int = 1500
@@ -124,8 +134,7 @@ class Trainer:
             jax.block_until_ready(stats["loss"])
             t_last = time.perf_counter()
             sub.register_time("step", t_last - t0)
-            sub.register(stats, weight=float(np.asarray(
-                batch["audio"].shape[0] if "audio" in batch else 1)))
+            sub.register(stats, weight=_batch_weight(batch))
             if (it + 1) % cfg.log_interval == 0:
                 logger.info(
                     "epoch %d iter %d: loss=%.4f (%.0f ms/step)",
@@ -138,5 +147,4 @@ class Trainer:
         sub = self.reporter.phase("valid")
         for batch in self.valid_iter_factory(epoch):
             stats = self.eval_step(state, batch)
-            sub.register(stats, weight=float(np.asarray(
-                batch["audio"].shape[0] if "audio" in batch else 1)))
+            sub.register(stats, weight=_batch_weight(batch))
