@@ -422,13 +422,12 @@ class SpeechEditor:
             new_boundary
 
     # -- model decode ----------------------------------------------------
-    def _reconstruct(
+    def _build_inputs(
         self, wav: np.ndarray, phones: list[str],
         start_sec, end_sec, span_boundary: list[int],
-    ) -> np.ndarray:
-        """Teacher-forced masked reconstruction of the span; returns the
-        full mel with the generated span spliced in (ref decode_with_model
-        :612-636 + sedit_model.inference :271-284)."""
+    ) -> dict:
+        """Bucket-padded model inputs for one utterance (the inference half
+        of the reference collate fn with explicit span_boundary)."""
         c = self.fe.config
         hop = c.hop_length
         n_f = 1 + len(wav) // hop
@@ -457,9 +456,7 @@ class SpeechEditor:
         ids = np.zeros(t_pad, np.int32)
         ids[:t_len] = self.tokens.tokens2ids(phones)
         text_mask = np.arange(t_pad) < t_len
-
-        before, after, _ = self._jit_forward(
-            self.variables,
+        return dict(
             speech=feats,
             text=jnp.asarray(ids[None]),
             masked_position=jnp.asarray(masked[None]),
@@ -468,6 +465,19 @@ class SpeechEditor:
             speech_segment_pos=jnp.asarray(ssp[None]),
             text_segment_pos=jnp.asarray(tsp[None]),
         )
+
+    def _reconstruct(
+        self, wav: np.ndarray, phones: list[str],
+        start_sec, end_sec, span_boundary: list[int],
+    ) -> np.ndarray:
+        """Teacher-forced masked reconstruction of the span; returns the
+        full mel with the generated span spliced in (ref decode_with_model
+        :612-636 + sedit_model.inference :271-284)."""
+        n_f = 1 + len(wav) // self.fe.config.hop_length
+        inputs = self._build_inputs(wav, phones, start_sec, end_sec,
+                                    span_boundary)
+        feats = inputs["speech"]
+        before, after, _ = self._jit_forward(self.variables, **inputs)
         gen = np.asarray(after if after is not None else before)[0]
         orig = np.asarray(feats[0])
         s, e = span_boundary
