@@ -29,6 +29,10 @@ class OptimConfig:
     adam_b2: float = 0.999  # torch.optim.Adam defaults (betas, eps)
     adam_eps: float = 1e-8
     weight_decay: float = 0.0
+    # gradient noise (trainer.py:620-628 / add_gradient_noise): variance
+    # eta / (1 + step)^gamma added to grads; 0 disables
+    grad_noise_eta: float = 0.0
+    grad_noise_gamma: float = 0.55
     # steps with non-finite grads to tolerate before erroring
     max_consecutive_nonfinite: int = 1000
 
@@ -47,7 +51,11 @@ def noam_schedule(model_size: int, warmup_steps: int, base_lr: float = 1.0):
 
 def make_optimizer(config: OptimConfig = OptimConfig()) -> optax.GradientTransformation:
     sched = noam_schedule(config.model_size, config.warmup_steps, config.lr)
-    chain = [optax.clip_by_global_norm(config.grad_clip)]
+    chain = []
+    if config.grad_noise_eta > 0:
+        chain.append(optax.add_noise(
+            config.grad_noise_eta, config.grad_noise_gamma, key=0))
+    chain.append(optax.clip_by_global_norm(config.grad_clip))
     if config.weight_decay > 0:
         chain.append(optax.add_decayed_weights(config.weight_decay))
     chain += [

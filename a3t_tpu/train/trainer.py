@@ -51,6 +51,11 @@ class TrainerConfig:
     seed: int = 0
     resume: bool = True
     average_nbest_at_end: bool = True
+    # write a jax.profiler trace of iters [10, 15) of epoch 1 to this dir
+    profile_dir: Optional[str] = None
+    # extra mid-epoch full-state checkpoints (preemption safety at scale;
+    # the reference only checkpoints per epoch + SLURM resubmits)
+    save_interval_steps: Optional[int] = None
 
 
 class Trainer:
@@ -93,6 +98,7 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epoch + 1):
             self.reporter.start_epoch(epoch)
             state = self.train_one_epoch(state, epoch)
+            jax.block_until_ready(state.params)
             if self.valid_iter_factory is not None and self.eval_step is not None:
                 self.validate_one_epoch(state, epoch)
             self.reporter.finish_epoch(self.tb)
@@ -124,9 +130,17 @@ class Trainer:
         sub = self.reporter.phase("train")
         rng = jax.random.PRNGKey(cfg.seed + epoch)
         t_last = time.perf_counter()
+        profiling = False
         for it, batch in enumerate(self.train_iter_factory(epoch)):
             if cfg.num_iters_per_epoch is not None and it >= cfg.num_iters_per_epoch:
                 break
+            if cfg.profile_dir and epoch == 1:
+                if it == 10:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif it == 15 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
             rng, step_rng = jax.random.split(rng)
             t0 = time.perf_counter()
             sub.register_time("iter", t0 - t_last)
@@ -135,6 +149,9 @@ class Trainer:
             t_last = time.perf_counter()
             sub.register_time("step", t_last - t0)
             sub.register(stats, weight=_batch_weight(batch))
+            if (cfg.save_interval_steps and self.ckpt is not None
+                    and (it + 1) % cfg.save_interval_steps == 0):
+                self.ckpt.save_epoch(epoch, state, self.reporter)
             if (it + 1) % cfg.log_interval == 0:
                 logger.info(
                     "epoch %d iter %d: loss=%.4f (%.0f ms/step)",
