@@ -41,3 +41,41 @@ def test_fused_logmel_frame_padding(rng):
     assert got.shape == ref.shape == (1, 38, 20)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-3, rtol=1e-3)
+
+
+def test_banded_attention_kernel_matches_reference(rng):
+    """Pallas banded kernel vs a dense masked-attention reference."""
+    import jax
+    from a3t_tpu.ops.banded_attention import banded_attention
+
+    b, h, t, d, tt, window = 2, 2, 32, 16, 8, 8
+    c = window // 2
+    q = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    kt = rng.standard_normal((b, h, tt, d)).astype(np.float32)
+    vt = rng.standard_normal((b, h, tt, d)).astype(np.float32)
+    tmask = np.ones((b, tt), bool)
+    tmask[1, 5:] = False
+
+    out = np.asarray(banded_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kt),
+        jnp.asarray(vt), jnp.asarray(tmask), window, interpret=True))
+
+    # dense reference: query i attends keys in chunks {ci-1, ci, ci+1} plus
+    # valid text keys
+    allk = np.concatenate([k, kt], axis=2)
+    allv = np.concatenate([v, vt], axis=2)
+    scores = np.einsum("bhtd,bhsd->bhts", q, allk) / np.sqrt(d)
+    qi = np.arange(t)[:, None] // c
+    ki = np.arange(t)[None, :] // c
+    band_ok = np.abs(qi - ki) <= 1  # (t, t)
+    key_ok = np.concatenate(
+        [np.broadcast_to(band_ok, (b, t, t)),
+         np.broadcast_to(tmask[:, None, :], (b, t, tt))], axis=2)
+    scores = np.where(key_ok[:, None], scores, -1e30)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    attn = e / e.sum(-1, keepdims=True)
+    ref = np.einsum("bhts,bhsd->bhtd", attn, allv)
+
+    np.testing.assert_allclose(out, ref, atol=2e-5)
