@@ -115,3 +115,30 @@ class LogMelFrontend:
         im = frames @ w_sin
         amp = jnp.sqrt(jnp.maximum(re * re + im * im, 1e-10))
         return self._finish(amp, sample_lengths)
+
+
+class LinearSpectrogramFrontend(LogMelFrontend):
+    """Amplitude linear spectrogram (espnet2 LinearSpectrogram choice,
+    registered in tasks/mlm.py:58-67): stft -> |.| with no mel/log."""
+
+    def output_size(self) -> int:
+        return self.config.n_freqs
+
+    def _finish(self, amp, sample_lengths):
+        feats = amp
+        if sample_lengths is not None:
+            flens = self.frame_lengths(sample_lengths)
+            valid = jnp.arange(feats.shape[1])[None, :] < flens[:, None]
+            feats = jnp.where(valid[..., None], feats, 0.0)
+        else:
+            flens = jnp.full((feats.shape[0],), feats.shape[1], jnp.int32)
+        return feats, flens
+
+
+class LogSpectrogramFrontend(LinearSpectrogramFrontend):
+    """log(amp) linear spectrogram (espnet2 LogSpectrogram choice)."""
+
+    def _finish(self, amp, sample_lengths):
+        feats, flens = super()._finish(jnp.log(jnp.maximum(amp, 1e-10)),
+                                       sample_lengths)
+        return feats, flens

@@ -554,3 +554,30 @@ class SpeechEditor:
         new_wav_out = replaced_wav[new_b[0] * hop:]
         return {"prompt": wav, "new_wav": new_wav_out,
                 "full": np.concatenate([wav[: old_b[0] * hop], new_wav_out])}
+
+
+def merge_utterances(
+    wav1: np.ndarray,
+    align1: UtteranceAlignment,
+    text1: str,
+    wav2: np.ndarray,
+    align2: UtteranceAlignment,
+    text2: str,
+) -> tuple[np.ndarray, str, UtteranceAlignment]:
+    """Concatenate two aligned utterances into one (ref merge_two_data,
+    sedit_inference.py:89-117) — used to build cross-speaker prompts."""
+    offset = float(np.asarray(align1.end_sec)[-1])
+    new_wav = np.concatenate([wav1, wav2])
+    new_text = text1 + " " + text2
+    start = np.concatenate(
+        [np.asarray(align1.start_sec), np.asarray(align2.start_sec) + offset])
+    end = np.concatenate(
+        [np.asarray(align1.end_sec), np.asarray(align2.end_sec) + offset])
+    n1 = len(align1.word2phns)
+    word2phns = dict(align1.word2phns)
+    for key, phones in align2.word2phns.items():
+        idx, wrd = key.split("_", 1)
+        word2phns[f"{int(idx) + n1}_{wrd}"] = phones
+    merged = UtteranceAlignment(
+        list(align1.phones) + list(align2.phones), start, end, word2phns)
+    return new_wav, new_text, merged

@@ -34,6 +34,7 @@ class A3TTaskConfig:
     exp_dir: str = "exp/a3t"
     speech_only: bool = False
     num_workers_prefetch: int = 2
+    use_tensorboard: bool = False
     # components
     frontend: LogMelConfig = dataclasses.field(default_factory=LogMelConfig)
     model: A3TModelConfig = dataclasses.field(default_factory=A3TModelConfig)

@@ -137,6 +137,16 @@ class MLMTask:
                 opt_state=jax.device_put(state.opt_state),
             )
 
+        tb_writer = None
+        if cfg.use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb_writer = SummaryWriter(
+                    os.path.join(cfg.exp_dir, "tensorboard"))
+            except Exception:  # tensorboard is optional
+                logger.warning("tensorboard unavailable; skipping")
+
         trainer = Trainer(
             cfg.trainer,
             make_train_step(model, fe, mesh=mesh),
@@ -148,6 +158,7 @@ class MLMTask:
                 keep_nbest=cfg.trainer.keep_nbest_models,
                 criterion=cfg.trainer.best_model_criterion,
             ),
+            tensorboard_writer=tb_writer,
         )
         return trainer.run(state)
 

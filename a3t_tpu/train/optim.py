@@ -20,6 +20,7 @@ import optax
 
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
+    scheduler: str = "noamlr"  # "noamlr" | "warmuplr" | "constant"
     lr: float = 1.0
     model_size: int = 384
     warmup_steps: int = 4000
@@ -49,8 +50,28 @@ def noam_schedule(model_size: int, warmup_steps: int, base_lr: float = 1.0):
     return schedule
 
 
+def warmup_lr_schedule(warmup_steps: int, base_lr: float):
+    """espnet2 WarmupLR: lr * warmup^0.5 * min(step^-0.5, step*warmup^-1.5)
+    — Noam without the model-size factor."""
+    import jax.numpy as jnp
+
+    factor = base_lr * warmup_steps ** 0.5
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32) + 1.0
+        return factor * jnp.minimum(s ** -0.5, s * warmup_steps ** -1.5)
+
+    return schedule
+
+
 def make_optimizer(config: OptimConfig = OptimConfig()) -> optax.GradientTransformation:
-    sched = noam_schedule(config.model_size, config.warmup_steps, config.lr)
+    if config.scheduler == "noamlr":
+        sched = noam_schedule(config.model_size, config.warmup_steps,
+                              config.lr)
+    elif config.scheduler == "warmuplr":
+        sched = warmup_lr_schedule(config.warmup_steps, config.lr)
+    else:
+        sched = lambda step: config.lr  # noqa: E731
     chain = []
     if config.grad_noise_eta > 0:
         chain.append(optax.add_noise(

@@ -163,3 +163,47 @@ def test_end_to_end_train_on_mini_corpus(corpus, converter):
         losses.append(float(stats["loss"]))
     assert np.isfinite(losses).all()
     assert losses[0] > 0
+
+
+def test_kaldi_ark_roundtrip(tmp_path, rng):
+    from a3t_tpu.data.kaldi_ark import (
+        KaldiArkReader, read_kaldi_mat, spk2xvector_from_kaldi,
+        write_kaldi_ark)
+    from a3t_tpu.data.fileio import write_2column_text
+
+    data = {
+        "utt1": rng.standard_normal((1, 512)).astype(np.float32),
+        "utt2": rng.standard_normal((1, 512)).astype(np.float32),
+        "utt3": rng.standard_normal(16).astype(np.float32),  # vector
+    }
+    ark = str(tmp_path / "xvector.ark")
+    scp = write_kaldi_ark(ark, data)
+    write_2column_text(str(tmp_path / "xvector.scp"), scp)
+
+    reader = KaldiArkReader(str(tmp_path / "xvector.scp"))
+    np.testing.assert_allclose(reader["utt1"], data["utt1"])
+    np.testing.assert_allclose(reader["utt3"], data["utt3"])
+
+    spk2xv = spk2xvector_from_kaldi(
+        str(tmp_path / "xvector.scp"),
+        {"utt1": "spkA", "utt2": "spkA", "utt3": "spkB"})
+    np.testing.assert_allclose(
+        spk2xv["spkA"],
+        (data["utt1"].reshape(-1) + data["utt2"].reshape(-1)) / 2, rtol=1e-6)
+
+
+def test_merge_utterances(rng):
+    from a3t_tpu.inference.sedit import UtteranceAlignment, merge_utterances
+
+    a1 = UtteranceAlignment(["A", "B"], np.array([0.0, 0.1]),
+                            np.array([0.1, 0.2]), {"0_A": ["A"], "1_B": ["B"]})
+    a2 = UtteranceAlignment(["C"], np.array([0.0]), np.array([0.15]),
+                            {"0_C": ["C"]})
+    w1 = np.zeros(1600, np.float32)
+    w2 = np.ones(1200, np.float32)
+    wav, text, merged = merge_utterances(w1, a1, "A B", w2, a2, "C")
+    assert len(wav) == 2800
+    assert text == "A B C"
+    assert merged.phones == ["A", "B", "C"]
+    np.testing.assert_allclose(merged.start_sec, [0.0, 0.1, 0.2])
+    assert "2_C" in merged.word2phns
