@@ -17,7 +17,9 @@ import logging
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="A3T TPU pretraining")
-    parser.add_argument("--config", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--print-config", action="store_true",
+                        help="dump the (resolved or default) config yaml and exit")
     parser.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         help="override config entries, e.g. --set optim.lr=0.5",
@@ -35,6 +37,21 @@ def main(argv=None):
     )
 
     from a3t_tpu.tasks import MLMTask, load_config
+
+    if args.print_config:
+        import sys
+
+        import yaml
+
+        from a3t_tpu.tasks.config import A3TTaskConfig, _to_dict
+
+        cfg = (load_config(args.config, args.set) if args.config
+               else A3TTaskConfig())
+        yaml.safe_dump(_to_dict(cfg), sys.stdout, sort_keys=False)
+        return
+
+    if args.config is None:
+        parser.error("--config is required (or use --print-config)")
 
     shard = (0, 1)
     if args.coordinator is not None:

@@ -35,6 +35,10 @@ class A3TTaskConfig:
     speech_only: bool = False
     num_workers_prefetch: int = 2
     use_tensorboard: bool = False
+    # "none" | "global_mvn" | "utterance_mvn" (shipped recipe: none,
+    # mlm.sh:537); global_mvn reads ``stats_file`` (collect_stats output)
+    normalize: str = "none"
+    stats_file: str = ""
     # components
     frontend: LogMelConfig = dataclasses.field(default_factory=LogMelConfig)
     model: A3TModelConfig = dataclasses.field(default_factory=A3TModelConfig)

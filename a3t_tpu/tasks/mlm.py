@@ -58,6 +58,18 @@ class MLMTask:
         return LogMelFrontend(cfg.frontend)
 
     @classmethod
+    def build_normalizer(cls, cfg: A3TTaskConfig):
+        if cfg.normalize == "global_mvn":
+            from a3t_tpu.dsp.normalize import GlobalMVN
+
+            return GlobalMVN.from_stats(cfg.stats_file)
+        if cfg.normalize == "utterance_mvn":
+            from a3t_tpu.dsp.normalize import UtteranceMVN
+
+            return UtteranceMVN()
+        return None
+
+    @classmethod
     def build_model(cls, cfg: A3TTaskConfig, vocab_size: int) -> A3TMLMModel:
         model_cfg = dataclasses.replace(cfg.model, vocab_size=vocab_size,
                                         odim=cfg.frontend.n_mels)
@@ -147,10 +159,11 @@ class MLMTask:
             except Exception:  # tensorboard is optional
                 logger.warning("tensorboard unavailable; skipping")
 
+        normalizer = cls.build_normalizer(cfg)
         trainer = Trainer(
             cfg.trainer,
-            make_train_step(model, fe, mesh=mesh),
-            make_eval_step(model, fe, mesh=mesh),
+            make_train_step(model, fe, mesh=mesh, normalizer=normalizer),
+            make_eval_step(model, fe, mesh=mesh, normalizer=normalizer),
             lambda e: to_device(train_factory(e)),
             (lambda e: to_device(valid_factory(e))) if valid_factory else None,
             CheckpointManager(

@@ -114,6 +114,38 @@ class Reporter:
         best = self.best_epoch(phase, key, mode)
         return best is not None and (self.epoch - best) > patience
 
+    def plot(self, out_dir: str):
+        """Write per-metric matplotlib curves (reporter.py:500-546)."""
+        import os
+
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs(out_dir, exist_ok=True)
+        keys = {
+            (phase, k)
+            for h in self.history.values()
+            for phase, stats in h.items()
+            for k in stats
+        }
+        metrics = sorted({k for _, k in keys})
+        for metric in metrics:
+            fig, ax = plt.subplots()
+            for phase in sorted({p for p, k in keys if k == metric}):
+                xs = sorted(
+                    e for e, h in self.history.items()
+                    if phase in h and metric in h[phase])
+                ys = [self.history[e][phase][metric] for e in xs]
+                if xs:
+                    ax.plot(xs, ys, label=phase)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel(metric)
+            ax.legend()
+            fig.savefig(os.path.join(out_dir, f"{metric}.png"))
+            plt.close(fig)
+
     # -- (de)serialization ----------------------------------------------
     def state_dict(self) -> dict:
         return {"history": self.history, "epoch": self.epoch}

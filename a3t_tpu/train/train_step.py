@@ -67,7 +67,7 @@ def create_train_state(model: A3TMLMModel, tx, sample_batch, rng=None) -> TrainS
 
 
 def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
-              use_pallas: bool = False):
+              use_pallas: bool = False, normalizer=None):
     """Raw-audio batch -> model input batch (all on device, inside jit).
 
     ``use_fused=True`` (default) runs the DFT-as-matmul formulation — two
@@ -85,6 +85,8 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
     else:
         fe = frontend.fused if use_fused else frontend
         feats, flens = fe(batch["audio"], batch["audio_lengths"])
+    if normalizer is not None:
+        feats = normalizer(feats)
     n_f = feats.shape[1]
     speech_mask = jnp.arange(n_f)[None, :] < flens[:, None]
     # Reference multiplies the sampled mask by the non-pad mask
@@ -107,13 +109,15 @@ def make_train_step(
     mesh=None,
     speech_only: bool = False,
     donate: bool = True,
+    normalizer=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
     has_duration = model.config.duration_predictor_layers > 0
 
     def loss_fn(params, batch_stats, batch, rng):
-        mb = featurize(frontend, batch) if frontend is not None else batch
+        mb = featurize(frontend, batch, normalizer=normalizer) \
+            if frontend is not None else batch
         (before, after, log_d), updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             **mb,
@@ -225,11 +229,13 @@ def make_tts_train_step(
     )
 
 
-def make_eval_step(model, frontend, mesh=None, speech_only: bool = False):
+def make_eval_step(model, frontend, mesh=None, speech_only: bool = False,
+                   normalizer=None):
     """Validation step (no grads, running batch stats)."""
 
     def step_fn(state: TrainState, batch: dict):
-        mb = featurize(frontend, batch) if frontend is not None else batch
+        mb = featurize(frontend, batch, normalizer=normalizer) \
+            if frontend is not None else batch
         before, after, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             **mb,
