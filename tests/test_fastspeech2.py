@@ -100,3 +100,29 @@ def test_gst_style_encoder(rng):
     speech2 = speech * 3.0 + 1.0
     out2 = enc.apply(variables, speech2)
     assert np.abs(np.asarray(out - out2)).max() > 1e-5
+
+
+def test_pitch_extraction_tracks_tone(rng):
+    from a3t_tpu.dsp.pitch import average_by_duration, extract_f0, fs2_targets
+
+    fs, hop = 16000, 160
+    t = np.arange(fs) / fs
+    wav = 0.5 * np.sin(2 * np.pi * 220.0 * t)
+    f0 = extract_f0(wav, fs, hop)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.8 * len(f0)
+    np.testing.assert_allclose(np.median(voiced), 220.0, rtol=0.05)
+
+    # unvoiced noise -> mostly zero
+    noise = 0.1 * rng.standard_normal(fs)
+    f0n = extract_f0(noise, fs, hop)
+    assert (f0n > 0).mean() < 0.5
+
+    # token averaging
+    vals = np.array([100.0, 110, 0, 0, 200, 210], np.float32)
+    avg = average_by_duration(vals, np.array([4, 2]), nonzero_only=True)
+    np.testing.assert_allclose(avg, [105.0, 205.0])
+
+    tg = fs2_targets(wav, fs, 512, hop, 400, np.array([50, 51]))
+    assert tg["pitch"].shape == (2,)
+    assert (tg["energy"] > 0).all()
