@@ -1,0 +1,163 @@
+"""FastSpeech2 training task (the reference's TTSTask for the
+fastspeech2 choice, espnet2/tasks/tts.py — the model whose duration
+predictor drives speech editing).
+
+Data flow per utterance (all static shapes, bucketed by text length):
+    phones + alignments -> durations (frames per phone)
+    waveform -> mel target (on-device front-end), F0/energy targets
+    (host, dsp/pitch.py) token-averaged by the alignment durations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from a3t_tpu.data.dataset import A3TDataset
+from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+from a3t_tpu.dsp.pitch import average_by_duration, extract_energy, extract_f0
+from a3t_tpu.models.fastspeech2 import (
+    FastSpeech2,
+    FastSpeech2Config,
+    fastspeech2_loss,
+)
+from a3t_tpu.train.train_step import TrainState
+
+
+@dataclasses.dataclass
+class FS2BatcherConfig:
+    batch_size: int = 16
+    text_buckets: Sequence[int] = (32, 64, 128)
+    max_feat_len: int = 1024
+    seed: int = 0
+
+
+class FS2Batcher:
+    """Static-shape batches for FastSpeech2 training."""
+
+    def __init__(self, dataset: A3TDataset, frontend: LogMelConfig,
+                 config: FS2BatcherConfig = FS2BatcherConfig()):
+        self.dataset = dataset
+        self.fe = frontend
+        self.config = config
+        self._buckets: list[list[str]] = [[] for _ in config.text_buckets]
+        bounds = sorted(config.text_buckets)
+        for uid in dataset.uids:
+            n = dataset.num_phones(uid)
+            for bi, b in enumerate(bounds):
+                if n <= b - 1:  # room for eos
+                    self._buckets[bi].append(uid)
+                    break
+
+    def epoch_iterator(self, epoch: int, eos_id: int):
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.config.seed, epoch]))
+        cfg = self.config
+        plan = []
+        for bi, members in enumerate(self._buckets):
+            order = list(members)
+            rng.shuffle(order)
+            for i in range(0, len(order), cfg.batch_size):
+                plan.append((bi, order[i: i + cfg.batch_size]))
+        rng.shuffle(plan)
+        for bi, uids in plan:
+            yield self.make_batch(bi, uids, eos_id)
+
+    def make_batch(self, bucket_idx: int, uids: Sequence[str], eos_id: int):
+        cfg = self.config
+        t_pad = sorted(cfg.text_buckets)[bucket_idx]
+        b = cfg.batch_size
+        c = self.fe
+        hop = c.hop_length
+
+        text = np.zeros((b, t_pad), np.int32)
+        text_mask = np.zeros((b, t_pad), bool)
+        durations = np.zeros((b, t_pad), np.int32)
+        pitch = np.zeros((b, t_pad, 1), np.float32)
+        energy = np.zeros((b, t_pad, 1), np.float32)
+        audio = np.zeros((b, (cfg.max_feat_len - 1) * hop), np.float32)
+        audio_lengths = np.zeros(b, np.int32)
+
+        for i, uid in enumerate(uids):
+            item = self.dataset[uid]
+            wav = item["audio"][: audio.shape[1]]
+            ids = item["text_ids"]
+            starts = np.floor(c.fs * item["align_start_sec"] / hop).astype(int)
+            ends = np.floor(c.fs * item["align_end_sec"] / hop).astype(int)
+            n_f = min(1 + len(wav) // hop, cfg.max_feat_len)
+            ends = np.minimum(ends, n_f)
+            starts = np.minimum(starts, ends)
+            d = ends - starts
+            t_len = min(len(ids), t_pad - 1)
+
+            text[i, :t_len] = ids[:t_len]
+            text[i, t_len] = eos_id
+            text_mask[i, : t_len + 1] = True
+            durations[i, :t_len] = d[:t_len]
+            # eos duration: remaining frames
+            durations[i, t_len] = max(0, n_f - int(d[:t_len].sum()))
+
+            f0 = extract_f0(wav, c.fs, hop)
+            en = extract_energy(wav, c.n_fft, hop, c.win_length)
+            pitch[i, :t_len, 0] = average_by_duration(f0, d[:t_len], True)
+            energy[i, :t_len, 0] = average_by_duration(en, d[:t_len], False)
+
+            audio[i, : len(wav)] = wav
+            audio_lengths[i] = len(wav)
+
+        return dict(
+            text=text, text_mask=text_mask, durations=durations,
+            pitch=pitch, energy=energy, audio=audio,
+            audio_lengths=audio_lengths,
+        )
+
+
+def make_fs2_train_step(model: FastSpeech2, frontend: LogMelFrontend,
+                        donate: bool = False):
+    """(state, batch, rng) -> (state, stats) for FastSpeech2."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        mel, flens = frontend.fused(batch["audio"], batch["audio_lengths"])
+        mel = mel[:, : model.config.max_feat_len]
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["text"], batch["text_mask"],
+            speech=mel if model.config.use_gst else None,
+            durations=batch["durations"], pitch=batch["pitch"],
+            energy=batch["energy"], train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        targets = dict(mel=mel, durations=batch["durations"],
+                       pitch=batch["pitch"], energy=batch["energy"])
+        losses = fastspeech2_loss(out, targets, batch["text_mask"])
+        return losses["loss"], (updates["batch_stats"], losses)
+
+    def step_fn(state: TrainState, batch, rng):
+        (_, (new_stats, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        losses["grad_norm"] = optax.global_norm(grads)
+        return state.apply_gradients(grads, new_stats), losses
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def create_fs2_state(model: FastSpeech2, tx, sample_batch) -> TrainState:
+    variables = model.init(
+        jax.random.PRNGKey(0), sample_batch["text"], sample_batch["text_mask"],
+        speech=jnp.zeros(
+            (sample_batch["text"].shape[0], 64, model.config.odim))
+        if model.config.use_gst else None,
+        durations=sample_batch["durations"], pitch=sample_batch["pitch"],
+        energy=sample_batch["energy"], train=False)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+    )

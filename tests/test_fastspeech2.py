@@ -126,3 +126,46 @@ def test_pitch_extraction_tracks_tone(rng):
     tg = fs2_targets(wav, fs, 512, hop, 400, np.array([50, 51]))
     assert tg["pitch"].shape == (2,)
     assert (tg["energy"] > 0).all()
+
+
+def test_fs2_training_on_mini_corpus(tmp_path):
+    """Full FS2 training path: corpus -> targets -> train steps."""
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.data.fileio import read_2column_text
+    from a3t_tpu.data.miniature import generate_mini_corpus
+    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+    from a3t_tpu.tasks.fs2 import (
+        FS2Batcher, FS2BatcherConfig, create_fs2_state, make_fs2_train_step)
+    from a3t_tpu.text import TokenIDConverter, build_token_list
+    from a3t_tpu.train import OptimConfig, make_optimizer
+    import os
+
+    corpus = generate_mini_corpus(str(tmp_path / "c"), n_utts=6, fs=8000)
+    conv = TokenIDConverter(build_token_list(
+        read_2column_text(os.path.join(corpus, "text")).values()))
+    fe_cfg = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                          n_mels=20, fmin=20, fmax=4000)
+    fe = LogMelFrontend(fe_cfg)
+    ds = A3TDataset(corpus, conv)
+
+    batcher = FS2Batcher(ds, fe_cfg, FS2BatcherConfig(
+        batch_size=3, text_buckets=(16,), max_feat_len=128))
+    eos = len(conv)  # one past the vocab
+    batch = next(iter(batcher.epoch_iterator(0, eos_id=eos)))
+    assert batch["text"].shape == (3, 16)
+    # durations cover the valid frames
+    i = 0
+    n_f = 1 + batch["audio_lengths"][i] // 80
+    assert abs(int(batch["durations"][i].sum()) - n_f) <= 1
+
+    cfg = tiny_fs2(idim=eos + 1, odim=20, max_feat_len=128, use_gst=True)
+    model = FastSpeech2(cfg)
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=10))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    state = create_fs2_state(model, tx, jb)
+    step = make_fs2_train_step(model, fe)
+    for i in range(2):
+        state, losses = step(state, jb, jax.random.PRNGKey(i))
+        for k in ("loss", "l1_loss", "duration_loss", "pitch_loss",
+                  "energy_loss"):
+            assert np.isfinite(float(losses[k])), k
