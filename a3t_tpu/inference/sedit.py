@@ -154,7 +154,6 @@ def diff_phone_spans(
     left_index = 0
     new_phns_left: list[str] = []
     sp_count = 0
-    found_left_diff = False
     for key in word2phns:
         idx, wrd = key.split("_", 1)
         if wrd == "sp":
@@ -168,7 +167,6 @@ def diff_phone_spans(
             else:
                 span_tobe_replaced[0] = len(new_phns_left)
                 span_tobe_added[0] = len(new_phns_left)
-                found_left_diff = True
                 break
 
     new_phns_right: list[str] = []
