@@ -291,9 +291,11 @@ class SpeechEditor:
         g2p: Optional[Callable] = None,
         frame_bucket: int = 64,
         text_bucket: int = 8,
+        normalizer=None,
     ):
         self.model = model
         self.variables = variables
+        self.normalizer = normalizer
         self.fe = LogMelFrontend(frontend_config)
         self.tokens = token_converter
         self.vocoder = vocoder
@@ -309,17 +311,24 @@ class SpeechEditor:
 
     # -- helpers ---------------------------------------------------------
     def mel(self, wav: np.ndarray) -> np.ndarray:
+        """Normalized (model-domain) mel of a waveform."""
         feats, _ = self._jit_mel(jnp.asarray(wav[None]))
+        if self.normalizer is not None:
+            feats = self.normalizer(feats)
         n_f = 1 + len(wav) // self.fe.config.hop_length
         return np.asarray(feats[0, :n_f])
 
     def _vocode(self, mel: np.ndarray) -> np.ndarray:
+        """Model-domain mel -> waveform (denormalizing first if needed,
+        the feat_gen_denorm path of the reference)."""
+        m = jnp.asarray(mel[None])
+        if self.normalizer is not None and hasattr(self.normalizer, "inverse"):
+            m = self.normalizer.inverse(m)
         if self.vocoder is not None:
-            return np.asarray(self.vocoder(jnp.asarray(mel[None])))[0]
+            return np.asarray(self.vocoder(m))[0]
         from a3t_tpu.dsp.griffin_lim import logmel_to_wav
 
-        return np.asarray(logmel_to_wav(jnp.asarray(mel[None]),
-                                        self.fe.config))[0]
+        return np.asarray(logmel_to_wav(m, self.fe.config))[0]
 
     # -- timeline construction (ref prepare_features_with_duration) ------
     def _new_timeline(
@@ -440,6 +449,8 @@ class SpeechEditor:
 
         feats, _ = self._jit_mel(jnp.asarray(audio[None]),
                                  jnp.asarray([len(wav)], np.int32))
+        if self.normalizer is not None:
+            feats = self.normalizer(feats)
 
         a_start = np.minimum(
             np.floor(c.fs * np.asarray(start_sec) / hop).astype(np.int32), n_f)

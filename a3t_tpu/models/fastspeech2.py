@@ -80,6 +80,8 @@ class FastSpeech2Config:
     use_gst: bool = False
     gst_tokens: int = 10
     gst_heads: int = 4
+    gst_conv_chans_list: tuple = (32, 32, 64, 64, 128, 128)
+    gst_gru_units: int = 128
     spk_embed_dim: Optional[int] = None
     spk_embed_integration_type: str = "add"  # "add" | "concat"
     max_feat_len: int = 2048  # static synthesis length cap
@@ -157,7 +159,9 @@ class FastSpeech2(nn.Module):
         if c.use_gst:
             self.gst = StyleEncoder(
                 gst_tokens=c.gst_tokens, gst_token_dim=c.adim,
-                gst_heads=c.gst_heads, name="gst")
+                gst_heads=c.gst_heads,
+                conv_chans_list=c.gst_conv_chans_list,
+                gru_units=c.gst_gru_units, name="gst")
         if c.spk_embed_dim is not None:
             self.projection = nn.Dense(c.adim, kernel_init=xavier(),
                                        bias_init=zeros, name="projection")
