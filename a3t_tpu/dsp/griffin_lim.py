@@ -51,8 +51,15 @@ def griffin_lim(
                  c.win_length)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def logmel_to_wav(
     logmel: jnp.ndarray, config: LogMelConfig, n_iters: int = 32
 ) -> jnp.ndarray:
-    """Full Griffin-Lim vocoder: (B, F, n_mels) log10-mel -> (B, S) wav."""
+    """Full Griffin-Lim vocoder: (B, F, n_mels) log10-mel -> (B, S) wav.
+
+    Jitted as a whole: the complex exp/irfft chain must be compiled — some
+    backends (the axon tunnel) lack eager complex kernels."""
     return griffin_lim(mel_to_linear(logmel, config), config, n_iters)
