@@ -57,11 +57,13 @@ def main():
     step = make_train_step(model, fe)
 
     key = jax.random.PRNGKey(0)
-    # compile + warmup
-    state, stats = step(state, batch, key)
+    # compile + warmup (3 steps so clocks/caches settle)
+    for _ in range(3):
+        key, sk = jax.random.split(key)
+        state, stats = step(state, batch, sk)
     jax.block_until_ready(stats["loss"])
 
-    n_iters = 10
+    n_iters = 15
     t0 = time.perf_counter()
     for i in range(n_iters):
         key, sk = jax.random.split(key)
