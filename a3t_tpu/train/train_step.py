@@ -148,6 +148,10 @@ def make_train_step(
         )
         stats["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads, new_stats)
+        # skipped-step counter from apply_if_finite (the reference's
+        # non-finite-grad guard, trainer.py:640-657)
+        if hasattr(new_state.opt_state, "notfinite_count"):
+            stats["notfinite_count"] = new_state.opt_state.notfinite_count
         return new_state, stats
 
     if mesh is None:
