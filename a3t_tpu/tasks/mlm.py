@@ -160,9 +160,22 @@ class MLMTask:
                 logger.warning("tensorboard unavailable; skipping")
 
         normalizer = cls.build_normalizer(cfg)
+
+        # longformer buckets must be multiples of the half-window
+        # (the pad_to_longformer_att_window invariant, collate_fn.py:241-247)
+        enc = cfg.model.encoder
+        if enc.selfattention_layer_type == "longformer":
+            c = enc.attention_window // 2
+            bad = [b for b in cfg.batcher.bucket_frames if b % c != 0]
+            if bad:
+                raise ValueError(
+                    f"bucket_frames {bad} not multiples of half-window {c} "
+                    "(required by longformer attention)")
+
         trainer = Trainer(
             cfg.trainer,
-            make_train_step(model, fe, mesh=mesh, normalizer=normalizer),
+            make_train_step(model, fe, mesh=mesh, normalizer=normalizer,
+                            use_fused=cfg.use_fused_frontend),
             make_eval_step(model, fe, mesh=mesh, normalizer=normalizer),
             lambda e: to_device(train_factory(e)),
             (lambda e: to_device(valid_factory(e))) if valid_factory else None,

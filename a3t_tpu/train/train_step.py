@@ -110,13 +110,15 @@ def make_train_step(
     speech_only: bool = False,
     donate: bool = True,
     normalizer=None,
+    use_fused: bool = True,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
     has_duration = model.config.duration_predictor_layers > 0
 
     def loss_fn(params, batch_stats, batch, rng):
-        mb = featurize(frontend, batch, normalizer=normalizer) \
+        mb = featurize(frontend, batch, use_fused=use_fused,
+                       normalizer=normalizer) \
             if frontend is not None else batch
         (before, after, log_d), updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
