@@ -54,6 +54,10 @@ class BatcherConfig:
     # duration-aware TTS variant: also emit durations + reordered_index
     # (espnet2/train/collate_fn.py:267-271, duration_collect)
     duration_collect: bool = False
+    # decode wav batches with the native C++ thread-pool loader
+    # (native/loader); falls back to python decoding if the build fails
+    use_native_loader: bool = True
+    loader_threads: int = 4
 
 
 class BucketBatcher:
@@ -72,14 +76,33 @@ class BucketBatcher:
         n_mels = n_mels if n_mels is not None else frontend.n_mels
 
         hop = frontend.hop_length
+        # Native thread-pool loader (probe headers + decode batches); falls
+        # back to python decoding when the shared lib can't build.
+        self._loader = None
+        if config.use_native_loader:
+            try:
+                from a3t_tpu.data.native_loader import NativeWavLoader
+
+                paths = [dataset.wav.data[u] for u in dataset.uids]
+                self._loader = NativeWavLoader(paths, config.loader_threads)
+            except Exception:
+                self._loader = None
+
         # Per-utt lengths from wav headers (cheap; the reference reads
         # collect-stats shape files for the same purpose).
         self._frames: dict[str, int] = {}
         self._texts: dict[str, int] = {}
-        for uid in dataset.uids:
-            n = dataset.num_samples(uid)
-            self._frames[uid] = 1 + n // hop
-            self._texts[uid] = dataset.num_phones(uid)
+        self._uid_index = {u: i for i, u in enumerate(dataset.uids)}
+        if self._loader is not None:
+            ns, _ = self._loader.probe()
+            for uid, n in zip(dataset.uids, ns):
+                self._frames[uid] = 1 + int(n) // hop
+                self._texts[uid] = dataset.num_phones(uid)
+        else:
+            for uid in dataset.uids:
+                n = dataset.num_samples(uid)
+                self._frames[uid] = 1 + n // hop
+                self._texts[uid] = dataset.num_phones(uid)
 
         # Build bucket specs.
         self.buckets: list[BucketSpec] = []
@@ -156,12 +179,23 @@ class BucketBatcher:
                                 (b, 1))
             reduced_lengths = np.zeros(b, np.int32)
 
+        if self._loader is not None and uids:
+            # native path: decode the whole batch with the C++ thread pool
+            idx = [self._uid_index[u] for u in uids]
+            self._loader.load_batch(idx, spec.n_samples, out=audio[: len(idx)])
+
         for i, uid in enumerate(uids):
-            item = self.dataset[uid]
-            wav = item["audio"][: spec.n_samples]
-            audio[i, : len(wav)] = wav
-            audio_lengths[i] = len(wav)
-            n_f = 1 + len(wav) // hop
+            if self._loader is not None:
+                item = self.dataset.get_meta(uid)
+                n_true = (self._frames[uid] - 1) * hop
+                wav_len = min(n_true, spec.n_samples)
+            else:
+                item = self.dataset[uid]
+                wav = item["audio"][: spec.n_samples]
+                audio[i, : len(wav)] = wav
+                wav_len = len(wav)
+            audio_lengths[i] = wav_len
+            n_f = 1 + wav_len // hop
 
             if speech_only:
                 # sentinel text token; frame-span T5 masking with the

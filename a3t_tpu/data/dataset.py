@@ -108,6 +108,21 @@ class A3TDataset:
     def __len__(self):
         return len(self.uids)
 
+    def get_meta(self, uid: str) -> dict:
+        """Everything except the decoded audio (for native-loader paths)."""
+        out = {"uid": uid}
+        if not self.speech_only:
+            phones = self.text[uid].split()
+            out["phones"] = phones
+            if self.tokens is not None:
+                out["text_ids"] = np.asarray(
+                    self.tokens.tokens2ids(phones), np.int32)
+            out["align_start_sec"] = self.start[uid]
+            out["align_end_sec"] = self.end[uid]
+        if uid in self.utt2spk:
+            out["speaker"] = self.utt2spk[uid]
+        return out
+
     def __getitem__(self, uid: str) -> dict:
         fs, audio = self.wav[uid]
         out = {"uid": uid, "fs": fs, "audio": audio}

@@ -1,0 +1,255 @@
+// Threaded WAV batch loader (C++17, no deps).
+//
+// The reference feeds training through torch DataLoader worker *processes*
+// decoding flac/wav in Python (espnet2/train/dataset.py via soundfile).
+// Here batch assembly is a C++ thread pool: given a registry of wav paths,
+// a batch request fills a preallocated (B, max_samples) float32 buffer with
+// decoded, gain-normalized samples in parallel and returns true lengths.
+// Python (ctypes) hands the buffer straight to jax.device_put — no
+// per-utterance Python object churn on the hot path.
+//
+// WAV support: RIFF/WAVE with PCM16, PCM24, PCM32, IEEE float32 (mono; for
+// multi-channel the first channel is taken), which covers the corpora the
+// recipes produce (recipes/* write PCM16).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct WavInfo {
+  int sample_rate = 0;
+  int64_t n_samples = 0;
+};
+
+#pragma pack(push, 1)
+struct ChunkHeader {
+  char id[4];
+  uint32_t size;
+};
+#pragma pack(pop)
+
+bool read_wav(const std::string& path, float* out, int64_t max_samples,
+              WavInfo* info) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  char riff[12];
+  if (std::fread(riff, 1, 12, f) != 12 || std::memcmp(riff, "RIFF", 4) != 0 ||
+      std::memcmp(riff + 8, "WAVE", 4) != 0) {
+    std::fclose(f);
+    return false;
+  }
+  uint16_t format = 0, channels = 1, bits = 16;
+  uint32_t sample_rate = 0;
+  int64_t data_size = 0;
+  long data_pos = -1;
+  ChunkHeader ch;
+  while (std::fread(&ch, sizeof(ch), 1, f) == 1) {
+    if (std::memcmp(ch.id, "fmt ", 4) == 0) {
+      uint8_t buf[16];
+      if (ch.size < 16 || std::fread(buf, 1, 16, f) != 16) {
+        std::fclose(f);
+        return false;
+      }
+      format = buf[0] | (buf[1] << 8);
+      channels = buf[2] | (buf[3] << 8);
+      std::memcpy(&sample_rate, buf + 4, 4);
+      bits = buf[14] | (buf[15] << 8);
+      if (ch.size > 16) std::fseek(f, ch.size - 16, SEEK_CUR);
+    } else if (std::memcmp(ch.id, "data", 4) == 0) {
+      data_size = ch.size;
+      data_pos = std::ftell(f);
+      std::fseek(f, ch.size + (ch.size & 1), SEEK_CUR);
+    } else {
+      std::fseek(f, ch.size + (ch.size & 1), SEEK_CUR);
+    }
+  }
+  if (data_pos < 0 || channels == 0) {
+    std::fclose(f);
+    return false;
+  }
+  const int bytes = bits / 8;
+  const int64_t frames = data_size / (bytes * channels);
+  info->sample_rate = static_cast<int>(sample_rate);
+  info->n_samples = frames;
+
+  if (out != nullptr) {
+    const int64_t n = std::min(frames, max_samples);
+    std::fseek(f, data_pos, SEEK_SET);
+    std::vector<uint8_t> raw(static_cast<size_t>(n) * bytes * channels);
+    if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+      std::fclose(f);
+      return false;
+    }
+    const uint8_t* p = raw.data();
+    for (int64_t i = 0; i < n; ++i, p += bytes * channels) {
+      float v = 0.0f;
+      if (format == 3 && bits == 32) {  // IEEE float
+        std::memcpy(&v, p, 4);
+      } else if (bits == 16) {
+        int16_t s;
+        std::memcpy(&s, p, 2);
+        v = s / 32768.0f;
+      } else if (bits == 24) {
+        int32_t s = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+        v = (s >> 8) / 8388608.0f;
+      } else if (bits == 32) {
+        int32_t s;
+        std::memcpy(&s, p, 4);
+        v = s / 2147483648.0f;
+      }
+      out[i] = v;
+    }
+  }
+  std::fclose(f);
+  return true;
+}
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+            if (stop_ && jobs_.empty()) return;
+            job = std::move(jobs_.front());
+            jobs_.pop();
+          }
+          job();
+        }
+      });
+    }
+  }
+
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+
+  void submit(std::function<void()> job) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      jobs_.push(std::move(job));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> jobs_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+struct Loader {
+  std::vector<std::string> paths;
+  ThreadPool pool;
+  explicit Loader(int n_threads) : pool(n_threads) {}
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_new(int n_threads) { return new Loader(n_threads); }
+
+void loader_free(void* h) { delete static_cast<Loader*>(h); }
+
+// Register paths (NUL-separated blob); returns the count.
+int loader_register(void* h, const char* blob, int64_t blob_len) {
+  auto* l = static_cast<Loader*>(h);
+  l->paths.clear();
+  const char* p = blob;
+  const char* end = blob + blob_len;
+  while (p < end) {
+    const char* q = static_cast<const char*>(memchr(p, '\0', end - p));
+    if (!q) break;
+    l->paths.emplace_back(p, q - p);
+    p = q + 1;
+  }
+  return static_cast<int>(l->paths.size());
+}
+
+// Header-only probe: fills n_samples/sample_rate for every registered path.
+int loader_probe(void* h, int64_t* n_samples, int32_t* sample_rates) {
+  auto* l = static_cast<Loader*>(h);
+  std::atomic<int> errors{0};
+  std::atomic<size_t> done{0};
+  const size_t n = l->paths.size();
+  std::mutex mu;
+  std::condition_variable cv;
+  for (size_t i = 0; i < n; ++i) {
+    l->pool.submit([&, i] {
+      WavInfo info;
+      if (read_wav(l->paths[i], nullptr, 0, &info)) {
+        n_samples[i] = info.n_samples;
+        sample_rates[i] = info.sample_rate;
+      } else {
+        n_samples[i] = -1;
+        sample_rates[i] = -1;
+        ++errors;
+      }
+      if (++done == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done == n; });
+  return errors.load();
+}
+
+// Fill a zero-initialized (B, max_samples) float32 buffer with the decoded
+// audio of `indices`; lengths[i] = true sample count (clipped). Returns the
+// number of failed reads.
+int loader_load_batch(void* h, const int32_t* indices, int batch,
+                      int64_t max_samples, float* out, int64_t* lengths) {
+  auto* l = static_cast<Loader*>(h);
+  std::atomic<int> errors{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int i = 0; i < batch; ++i) {
+    l->pool.submit([&, i] {
+      const int idx = indices[i];
+      float* dst = out + static_cast<int64_t>(i) * max_samples;
+      std::memset(dst, 0, sizeof(float) * max_samples);
+      WavInfo info;
+      if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
+          read_wav(l->paths[idx], dst, max_samples, &info)) {
+        lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
+      } else {
+        lengths[i] = 0;
+        ++errors;
+      }
+      if (++done == batch) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done == batch; });
+  return errors.load();
+}
+
+}  // extern "C"

@@ -207,3 +207,39 @@ def test_merge_utterances(rng):
     assert merged.phones == ["A", "B", "C"]
     np.testing.assert_allclose(merged.start_sec, [0.0, 0.1, 0.2])
     assert "2_C" in merged.word2phns
+
+
+def test_native_loader_matches_python(corpus, converter, rng):
+    """Native C++ wav batch decoding vs the python path, batch for batch."""
+    from a3t_tpu.data.native_loader import NativeWavLoader
+
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    ds = A3TDataset(corpus, converter)
+
+    loader = NativeWavLoader([ds.wav.data[u] for u in ds.uids])
+    ns, sr = loader.probe()
+    assert (sr == 8000).all()
+    for i, uid in enumerate(ds.uids[:3]):
+        assert ns[i] == len(ds[uid]["audio"])
+
+    out, lengths = loader.load_batch([0, 1], 4000)
+    ref0 = ds[ds.uids[0]]["audio"][:4000]
+    np.testing.assert_allclose(out[0, : len(ref0)], ref0, atol=2e-4)
+    assert lengths[0] == min(ns[0], 4000)
+
+    # full batcher parity: native vs python masking-identical batches
+    cfg_n = BatcherConfig(batch_bins=20 * 256 * 4, bucket_frames=(256,),
+                          min_frames=1, use_native_loader=True)
+    cfg_p = BatcherConfig(batch_bins=20 * 256 * 4, bucket_frames=(256,),
+                          min_frames=1, use_native_loader=False)
+    bn = BucketBatcher(ds, fe, cfg_n)
+    bp = BucketBatcher(ds, fe, cfg_p)
+    assert bn._loader is not None
+    b1 = bn.make_batch(0, ds.uids[:4], np.random.default_rng(1))
+    b2 = bp.make_batch(0, ds.uids[:4], np.random.default_rng(1))
+    np.testing.assert_allclose(b1["audio"], b2["audio"], atol=2e-4)
+    np.testing.assert_array_equal(b1["audio_lengths"] // fe.hop_length,
+                                  b2["audio_lengths"] // fe.hop_length)
+    np.testing.assert_array_equal(b1["masked_position"], b2["masked_position"])
+    np.testing.assert_array_equal(b1["text"], b2["text"])
