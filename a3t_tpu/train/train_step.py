@@ -71,11 +71,11 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
     """Raw-audio batch -> model input batch (all on device, inside jit).
 
     ``use_fused=True`` (default) runs the DFT-as-matmul formulation — two
-    MXU matmuls that XLA pipelines; measured ~2x faster than its own TPU
-    FFT (5.5 vs 17 ms for 38k frames) and slightly ahead of the explicit
-    Pallas kernel (ops/fused_logmel.py, ``use_pallas=True``), which remains
-    available and bit-identical.  ``use_fused=False`` is the rfft
-    reference path.
+    MXU matmuls that XLA pipelines, avoiding its scalar-unit TPU FFT; the
+    explicit Pallas kernel (ops/fused_logmel.py, ``use_pallas=True``)
+    computes the same chain bit-identically without materializing the
+    linear spectrum in HBM.  ``use_fused=False`` is the rfft reference
+    path.
     """
     if use_pallas:
         from a3t_tpu.ops import fused_logmel

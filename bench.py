@@ -61,14 +61,17 @@ def main():
     for _ in range(3):
         key, sk = jax.random.split(key)
         state, stats = step(state, batch, sk)
-    jax.block_until_ready(stats["loss"])
+    float(stats["loss"])
 
     n_iters = 15
     t0 = time.perf_counter()
     for i in range(n_iters):
         key, sk = jax.random.split(key)
         state, stats = step(state, batch, sk)
-    jax.block_until_ready(stats["loss"])
+    # NOTE: a concrete value fetch, not block_until_ready — the axon tunnel
+    # backend's block_until_ready returns before execution finishes, which
+    # silently turns timing loops into dispatch-rate measurements.
+    float(stats["loss"])
     dt = (time.perf_counter() - t0) / n_iters
 
     frames = batch_size * (1 + n_samples // hop)
