@@ -29,12 +29,20 @@ def main(argv=None):
     parser.add_argument("--num-hosts", type=int, default=None)
     parser.add_argument("--host-id", type=int, default=None)
     parser.add_argument("--log-level", default="INFO")
+    parser.add_argument("--prng", default="unsafe_rbg",
+                        choices=["unsafe_rbg", "threefry2x32"],
+                        help="dropout/masking PRNG; rbg is ~25%% faster "
+                             "on TPU, threefry is the splittable reference")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
         level=getattr(logging, args.log_level.upper()),
         format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
     )
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", args.prng)
 
     from a3t_tpu.tasks import MLMTask, load_config
 

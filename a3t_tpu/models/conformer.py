@@ -61,6 +61,8 @@ class EncoderConfig:
     # "float32" (reference parity) or "bfloat16" (mixed precision: bf16
     # matmuls/convs with fp32 params, fp32 softmax and norms)
     compute_dtype: str = "float32"
+    # rematerialize each block in backward (FLOPs for HBM bandwidth)
+    remat: bool = False
 
     @property
     def dtype(self):
@@ -144,7 +146,7 @@ class ConformerBlock(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask, train: bool, n_frames=None):
+    def __call__(self, x, pos_emb, mask, train: bool = False, n_frames=None):
         c = self.config
         det = not train
         drop = nn.Dropout(c.dropout_rate)
@@ -201,7 +203,11 @@ class ConformerStack(nn.Module):
 
     ``apply_final_norm=False`` is used for the speech-only pre-encoder,
     which shares block structure but has no after_norm of its own
-    (transformer/encoder.py:547-548)."""
+    (transformer/encoder.py:547-548).  With ``remat=True`` each block is
+    wrapped in jax.checkpoint: attention scores/probabilities are
+    recomputed in the backward pass instead of living in HBM between
+    passes — a FLOPs-for-bandwidth trade that usually wins when
+    B x H x T^2 activations dominate."""
 
     config: EncoderConfig
     apply_final_norm: bool = True
@@ -209,9 +215,12 @@ class ConformerStack(nn.Module):
     @nn.compact
     def __call__(self, x, pos_emb, mask, train: bool, n_frames=None):
         c = self.config
+        block_cls = ConformerBlock
+        if c.remat:
+            block_cls = nn.remat(ConformerBlock, static_argnums=(4, 5))
         for i in range(c.num_blocks):
-            x = ConformerBlock(c, name=f"block_{i}")(
-                x, pos_emb, mask, train, n_frames=n_frames)
+            x = block_cls(c, name=f"block_{i}")(
+                x, pos_emb, mask, train, n_frames)
         if c.normalize_before and self.apply_final_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)
         return x

@@ -27,6 +27,10 @@ REFERENCE_GPU_FRAMES_PER_SEC = 5860.0
 
 def main():
     import jax
+
+    # rbg PRNG: hardware-friendly random bits for dropout; ~25% faster
+    # steps than threefry on v5e (see docs/DESIGN.md, numerics policy)
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
     import jax.numpy as jnp
 
     from a3t_tpu.data import make_synthetic_batch
