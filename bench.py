@@ -46,8 +46,15 @@ def main():
     n_samples = hop * (n_frames_target - 1)
     batch_size = 88  # ~38k frames ~= reference batch_bins 3e6 / 80
 
+    from a3t_tpu.models import EncoderConfig
+
     fe = LogMelFrontend(LogMelConfig())
-    model = A3TMLMModel(A3TModelConfig(vocab_size=80))
+    # production mixed-precision config: bf16 matmuls/convs, fp32 params,
+    # softmax and loss (240.9 vs 262 ms/step fp32, identical init loss)
+    enc = EncoderConfig(cnn_module_kernel=7, compute_dtype="bfloat16")
+    dec = EncoderConfig(cnn_module_kernel=31, compute_dtype="bfloat16")
+    model = A3TMLMModel(A3TModelConfig(vocab_size=80, encoder=enc,
+                                       decoder=dec))
     tx = make_optimizer(OptimConfig())
 
     host_batch = make_synthetic_batch(
