@@ -35,6 +35,11 @@ class A3TTaskConfig:
     speech_only: bool = False
     num_workers_prefetch: int = 2
     use_tensorboard: bool = False
+    # multi-corpus pretraining: list of dicts with keys
+    # {name, data_dir, portion, speech_only?, frontend?{...}} — the
+    # libritts/librispeech/vctk .6/.2/.2 mixture (tasks/mlm.py:499-591).
+    # Empty = single-corpus training from train_data_dir.
+    corpora: tuple = ()
     # "none" | "global_mvn" | "utterance_mvn" (shipped recipe: none,
     # mlm.sh:537); global_mvn reads ``stats_file`` (collect_stats output)
     normalize: str = "none"

@@ -85,6 +85,10 @@ class MLMTask:
             bcfg = dataclasses.replace(bcfg, mlm_prob_factor=1.0)
         if batch_multiple > 1:
             bcfg = dataclasses.replace(bcfg, batch_multiple=batch_multiple)
+        if cfg.model.duration_predictor_layers > 0 and train:
+            # duration-aware variant auto-enables duration_collect
+            # (tasks/mlm.py:286-289)
+            bcfg = dataclasses.replace(bcfg, duration_collect=True)
         return BucketBatcher(ds, cfg.frontend, bcfg)
 
     # ------------------------------------------------------------------
@@ -107,13 +111,18 @@ class MLMTask:
             dp = mesh.shape["data"]
             logger.info("mesh: %s", mesh)
 
-        train_batcher = cls.build_batcher(
-            cfg, cfg.train_data_dir, conv, True, batch_multiple=dp)
-        logger.info(
-            "train buckets: %s (%d utts dropped as overlong)",
-            [(b.n_frames, b.batch_size) for b in train_batcher.buckets],
-            train_batcher.n_dropped,
-        )
+        multi = None
+        train_batcher = None
+        if cfg.corpora:
+            multi = cls._build_multi_corpus(cfg, conv, dp)
+        else:
+            train_batcher = cls.build_batcher(
+                cfg, cfg.train_data_dir, conv, True, batch_multiple=dp)
+            logger.info(
+                "train buckets: %s (%d utts dropped as overlong)",
+                [(b.n_frames, b.batch_size) for b in train_batcher.buckets],
+                train_batcher.n_dropped,
+            )
         valid_batcher = None
         if cfg.valid_data_dir:
             valid_batcher = cls.build_batcher(
@@ -123,23 +132,38 @@ class MLMTask:
 
         def to_device(it):
             for b in it:
+                name = None
+                if isinstance(b, tuple):
+                    name, b = b
                 b = {k: jnp.asarray(v) for k, v in b.items()}
                 if mesh is not None:
                     b = jax.device_put(b, batch_sharding(mesh))
-                yield b
+                yield (name, b) if name is not None else b
 
-        train_factory = EpochIterFactory(
-            train_batcher, cfg.trainer.num_iters_per_epoch, shard,
-            cfg.num_workers_prefetch)
+        if multi is not None:
+            train_factory = multi["factory"]
+        else:
+            train_factory = EpochIterFactory(
+                train_batcher, cfg.trainer.num_iters_per_epoch, shard,
+                cfg.num_workers_prefetch)
         valid_factory = (
             EpochIterFactory(valid_batcher, None, shard, cfg.num_workers_prefetch)
             if valid_batcher else None
         )
 
         sample_host = next(iter(train_factory(0)))
+        sample_fe = fe
+        if isinstance(sample_host, tuple):
+            name, sample_host = sample_host
+            sample_fe = multi["frontends"][name]
         sample = {k: jnp.asarray(v)[:2] for k, v in sample_host.items()}
         state = create_train_state(
-            model, tx, featurize(fe, sample, use_fused=False),
+            model, tx, featurize(sample_fe, {
+                k: v for k, v in sample.items()
+                if k in ("audio", "audio_lengths", "text", "text_mask",
+                         "masked_position", "speech_segment_pos",
+                         "text_segment_pos")
+            }, use_fused=False),
             rng=jax.random.PRNGKey(cfg.trainer.seed))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         logger.info("model params: %.2fM", n_params / 1e6)
@@ -161,6 +185,18 @@ class MLMTask:
 
         normalizer = cls.build_normalizer(cfg)
 
+        if multi is not None:
+            train_step = multi["step"]
+        elif cfg.model.duration_predictor_layers > 0:
+            from a3t_tpu.train.train_step import make_tts_train_step
+
+            train_step = make_tts_train_step(model, fe, mesh=mesh)
+        else:
+            train_step = make_train_step(
+                model, fe, mesh=mesh, normalizer=normalizer,
+                use_fused=cfg.use_fused_frontend,
+                speech_only=cfg.speech_only)
+
         # longformer buckets must be multiples of the half-window
         # (the pad_to_longformer_att_window invariant, collate_fn.py:241-247)
         enc = cfg.model.encoder
@@ -174,9 +210,9 @@ class MLMTask:
 
         trainer = Trainer(
             cfg.trainer,
-            make_train_step(model, fe, mesh=mesh, normalizer=normalizer,
-                            use_fused=cfg.use_fused_frontend),
-            make_eval_step(model, fe, mesh=mesh, normalizer=normalizer),
+            train_step,
+            make_eval_step(model, fe, mesh=mesh, normalizer=normalizer,
+                           speech_only=cfg.speech_only),
             lambda e: to_device(train_factory(e)),
             (lambda e: to_device(valid_factory(e))) if valid_factory else None,
             CheckpointManager(
@@ -189,6 +225,44 @@ class MLMTask:
         return trainer.run(state)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def _build_multi_corpus(cls, cfg: A3TTaskConfig, conv, dp: int):
+        """Config-driven multi-corpus mixture (tasks/mlm.py:499-591)."""
+        from a3t_tpu.data.multi_corpus import (
+            CorpusSpec,
+            MultiCorpusIterFactory,
+            make_multi_corpus_train_step,
+        )
+        from a3t_tpu.tasks.config import _build
+        from a3t_tpu.dsp import LogMelConfig
+
+        model = cls.build_model(cfg, len(conv))
+        specs = []
+        frontends = {}
+        speech_only = {}
+        for entry in cfg.corpora:
+            entry = dict(entry)
+            name = entry["name"]
+            fe_cfg = _build(LogMelConfig, entry.get("frontend")) \
+                if entry.get("frontend") else cfg.frontend
+            so = bool(entry.get("speech_only", False))
+            ds = A3TDataset(entry["data_dir"], conv, speech_only=so)
+            bcfg = dataclasses.replace(
+                cfg.batcher,
+                batch_multiple=max(dp, cfg.batcher.batch_multiple))
+            specs.append(CorpusSpec(
+                name, BucketBatcher(ds, fe_cfg, bcfg),
+                float(entry.get("portion", 1.0)), speech_only=so))
+            frontends[name] = LogMelFrontend(fe_cfg)
+            speech_only[name] = so
+        mesh = make_mesh(cfg.mesh) if jax.device_count() > 1 else None
+        factory = MultiCorpusIterFactory(
+            specs, cfg.trainer.num_iters_per_epoch or 100,
+            prefetch=cfg.num_workers_prefetch)
+        step = make_multi_corpus_train_step(
+            model, frontends, speech_only, mesh=mesh)
+        return {"factory": factory, "step": step, "frontends": frontends}
+
     @classmethod
     def build_model_from_dir(
         cls, exp_dir: str, which: str = "ave",

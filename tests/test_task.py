@@ -107,3 +107,46 @@ def test_cli_train_on_mini_corpus(tmp_path):
                    use_fused=False)
     before, after, _ = model.apply(variables, **mb, train=False)
     assert np.isfinite(np.asarray(before)).all()
+
+
+def test_cli_train_tts_variant(tmp_path):
+    """duration_predictor_layers > 0 routes through the TTS train step."""
+    corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=6, fs=8000)
+    exp = str(tmp_path / "exp_tts")
+    d = mini_config_dict(corpus, exp)
+    d["model"]["duration_predictor_layers"] = 2
+    d["trainer"]["max_epoch"] = 1
+    conf_path = str(tmp_path / "tts.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(d, f)
+
+    from a3t_tpu.bin.train import main
+
+    main(["--config", conf_path, "--log-level", "WARNING"])
+    assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
+
+
+def test_cli_train_multi_corpus(tmp_path):
+    """Config-driven two-corpus mixture (one speech-only, other rate)."""
+    c1 = generate_mini_corpus(str(tmp_path / "c1"), n_utts=6, fs=8000)
+    c2 = generate_mini_corpus(str(tmp_path / "c2"), n_utts=5, fs=16000,
+                              seed=7)
+    exp = str(tmp_path / "exp_mc")
+    d = mini_config_dict(c1, exp)
+    d["trainer"]["max_epoch"] = 1
+    d["trainer"]["num_iters_per_epoch"] = 4
+    d["corpora"] = [
+        {"name": "main", "data_dir": c1, "portion": 0.6},
+        {"name": "aux", "data_dir": c2, "portion": 0.4, "speech_only": True,
+         "frontend": {"fs": 16000, "n_fft": 512, "hop_length": 160,
+                      "win_length": 480, "n_mels": 20, "fmin": 20.0,
+                      "fmax": 7000.0}},
+    ]
+    conf_path = str(tmp_path / "mc.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(d, f)
+
+    from a3t_tpu.bin.train import main
+
+    main(["--config", conf_path, "--log-level", "WARNING"])
+    assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
