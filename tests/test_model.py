@@ -147,3 +147,36 @@ def test_duration_predictor_variant(rng):
     from a3t_tpu.models.layers import duration_loss
     dl = duration_loss(log_d, jnp.ones((2, 24), jnp.int32))
     assert np.isfinite(np.asarray(dl)).all()
+
+
+def test_remat_equivalence(rng):
+    """remat=True must be numerically identical to remat=False."""
+    import dataclasses
+
+    enc = EncoderConfig(attention_dim=32, attention_heads=2, linear_units=64,
+                        num_blocks=2, cnn_module_kernel=7)
+    cfg_plain = tiny_config(encoder=enc, decoder=None)
+    cfg_remat = tiny_config(
+        encoder=dataclasses.replace(enc, remat=True), decoder=None)
+    batch = make_batch(rng)
+
+    m1 = A3TMLMModel(cfg_plain)
+    v1 = m1.init(jax.random.PRNGKey(0), **batch, train=False)
+    out1, _, _ = m1.apply(v1, **batch, train=False)
+
+    m2 = A3TMLMModel(cfg_remat)
+    v2 = m2.init(jax.random.PRNGKey(0), **batch, train=False)
+    out2, _, _ = m2.apply(v2, **batch, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    # gradients flow through the rematerialized blocks
+    def loss(p):
+        b, a, _ = m2.apply(
+            {"params": p, "batch_stats": v2["batch_stats"]}, **batch,
+            train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+            mutable=["batch_stats"])[0]
+        return mlm_loss(b, a, batch["speech"], batch["masked_position"])
+
+    g = jax.grad(loss)(v2["params"])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
