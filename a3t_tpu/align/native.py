@@ -62,6 +62,9 @@ def _load_library() -> ctypes.CDLL:
         ctypes.c_void_p, f32p, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p]
     lib.aligner_save.restype = ctypes.c_int
     lib.aligner_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.aligner_split_mixtures.argtypes = [ctypes.c_void_p]
+    lib.aligner_n_mixtures.restype = ctypes.c_int
+    lib.aligner_n_mixtures.argtypes = [ctypes.c_void_p]
     lib.aligner_load.restype = ctypes.c_void_p
     lib.aligner_load.argtypes = [ctypes.c_char_p]
     lib.aligner_feat_dim.restype = ctypes.c_int
@@ -110,13 +113,23 @@ class NativeAligner:
         return out[:n]
 
     # -- training --------------------------------------------------------
+    @property
+    def n_mixtures(self) -> int:
+        return self.lib.aligner_n_mixtures(self.handle)
+
     def train(
         self,
         utterances: Sequence[tuple[np.ndarray, Sequence[str]]],
         n_iterations: int = 10,
+        n_mixtures: int = 1,
         verbose: bool = False,
     ) -> list[float]:
-        """Flat-start + embedded Viterbi-EM over (wav, phones) pairs."""
+        """Flat-start + embedded Viterbi-EM over (wav, phones) pairs.
+
+        ``n_mixtures`` > 1 enables HERest-style mixture doubling: after
+        each (n_iterations) block the Gaussians split (1 -> 2 -> 4 ...)
+        until the target count, with another EM block after each split.
+        """
         feats, phone_ids = [], []
         for wav, phones in utterances:
             f = self.extract(wav)
@@ -139,14 +152,22 @@ class NativeAligner:
         lls = []
         i64p = ctypes.POINTER(ctypes.c_int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
-        for it in range(n_iterations):
-            ll = self.lib.aligner_train_iteration(
-                self.handle, _f32p(all_feats), f_off.ctypes.data_as(i64p),
-                all_phones.ctypes.data_as(i32p), p_off.ctypes.data_as(i64p),
-                len(feats))
-            lls.append(float(ll))
-            if verbose:
-                print(f"aligner EM iter {it}: {ll:.3f} ll/frame")
+
+        def em_block():
+            for it in range(n_iterations):
+                ll = self.lib.aligner_train_iteration(
+                    self.handle, _f32p(all_feats), f_off.ctypes.data_as(i64p),
+                    all_phones.ctypes.data_as(i32p),
+                    p_off.ctypes.data_as(i64p), len(feats))
+                lls.append(float(ll))
+                if verbose:
+                    print(f"aligner EM iter {len(lls)}: {ll:.3f} ll/frame "
+                          f"({self.n_mixtures} mix)")
+
+        em_block()
+        while self.n_mixtures < n_mixtures:
+            self.lib.aligner_split_mixtures(self.handle)
+            em_block()
         return lls
 
     # -- alignment -------------------------------------------------------

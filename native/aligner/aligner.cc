@@ -254,6 +254,62 @@ struct GaussState {
   }
 };
 
+// Diagonal GMM emission (HERest-style mixture splitting: states start as a
+// single Gaussian and double via split_mixtures, like HTK's HHEd MU).
+struct GmmState {
+  std::vector<GaussState> comps;
+  std::vector<float> log_w;
+
+  float loglike(const float* x) const {
+    float best = kLogZero;
+    float sum = 0.0f;
+    // log-sum-exp over components
+    std::vector<float> ll(comps.size());
+    for (size_t c = 0; c < comps.size(); ++c) {
+      ll[c] = log_w[c] + comps[c].loglike(x);
+      if (ll[c] > best) best = ll[c];
+    }
+    if (best <= kLogZero / 2) return kLogZero;
+    for (float v : ll) sum += std::exp(v - best);
+    return best + std::log(sum);
+  }
+
+  int best_comp(const float* x) const {
+    int arg = 0;
+    float best = kLogZero;
+    for (size_t c = 0; c < comps.size(); ++c) {
+      const float v = log_w[c] + comps[c].loglike(x);
+      if (v > best) {
+        best = v;
+        arg = static_cast<int>(c);
+      }
+    }
+    return arg;
+  }
+
+  void split() {
+    const size_t n = comps.size();
+    std::vector<GaussState> nc;
+    std::vector<float> nw;
+    for (size_t c = 0; c < n; ++c) {
+      GaussState a = comps[c], b = comps[c];
+      for (size_t i = 0; i < a.mean.size(); ++i) {
+        const float off = 0.2f * std::sqrt(a.var[i]);
+        a.mean[i] += off;
+        b.mean[i] -= off;
+      }
+      a.finalize();
+      b.finalize();
+      nc.push_back(a);
+      nc.push_back(b);
+      nw.push_back(log_w[c] + std::log(0.5f));
+      nw.push_back(log_w[c] + std::log(0.5f));
+    }
+    comps = std::move(nc);
+    log_w = std::move(nw);
+  }
+};
+
 struct Accumulator {
   std::vector<double> sum, sqsum;
   double count = 0.0;
@@ -276,19 +332,29 @@ class Aligner {
   Aligner(int n_phones, int n_states, int feat_dim)
       : n_phones_(n_phones), n_states_(n_states), dim_(feat_dim) {
     states_.resize(static_cast<size_t>(n_phones) * n_states);
+    for (auto& st : states_) {
+      st.comps.resize(1);
+      st.log_w.assign(1, 0.0f);
+    }
     // self-loop prob 0.6 / advance 0.4 — typical monophone topology
     log_self_ = std::log(0.6f);
     log_next_ = std::log(0.4f);
   }
 
+  void split_mixtures() {
+    for (auto& st : states_) st.split();
+  }
+
+  int n_mixtures() const { return static_cast<int>(states_[0].comps.size()); }
+
   int n_phones() const { return n_phones_; }
   int n_states() const { return n_states_; }
   int dim() const { return dim_; }
 
-  GaussState& state(int phone, int s) {
+  GmmState& state(int phone, int s) {
     return states_[static_cast<size_t>(phone) * n_states_ + s];
   }
-  const GaussState& state(int phone, int s) const {
+  const GmmState& state(int phone, int s) const {
     return states_[static_cast<size_t>(phone) * n_states_ + s];
   }
 
@@ -306,14 +372,17 @@ class Aligner {
     }
     uint32_t rng = 12345u;
     for (auto& st : states_) {
-      st.mean = mean;
-      st.var = var;
+      st.comps.resize(1);
+      st.log_w.assign(1, 0.0f);
+      auto& g = st.comps[0];
+      g.mean = mean;
+      g.var = var;
       for (int i = 0; i < dim_; ++i) {
         rng = rng * 1664525u + 1013904223u;
         const float jitter = ((rng >> 9) & 0xFFFF) / 65535.0f - 0.5f;
-        st.mean[i] += 0.1f * jitter * std::sqrt(var[i]);
+        g.mean[i] += 0.1f * jitter * std::sqrt(var[i]);
       }
-      st.finalize();
+      g.finalize();
     }
   }
 
@@ -376,7 +445,8 @@ class Aligner {
   float train_iteration(const float* feats, const int64_t* feat_offsets,
                         const int* phones, const int64_t* phone_offsets,
                         int n_utts) {
-    std::vector<Accumulator> accs(states_.size());
+    const int n_mix = n_mixtures();
+    std::vector<Accumulator> accs(states_.size() * n_mix);
     for (auto& a : accs) a.init(dim_);
     double total_ll = 0.0;
     int64_t total_frames = 0;
@@ -397,21 +467,32 @@ class Aligner {
       for (int t = 0; t < nf; ++t) {
         const int j = path[t];
         const int p = ph[j / n_states_];
-        accs[static_cast<size_t>(p) * n_states_ + j % n_states_].add(
-            f + static_cast<int64_t>(t) * dim_, dim_);
+        const size_t si = static_cast<size_t>(p) * n_states_ + j % n_states_;
+        const float* x = f + static_cast<int64_t>(t) * dim_;
+        const int c = states_[si].best_comp(x);
+        accs[si * n_mix + c].add(x, dim_);
       }
     }
 
     for (size_t s = 0; s < states_.size(); ++s) {
-      if (accs[s].count < 3.0) continue;  // keep prior params for rare states
       auto& st = states_[s];
-      for (int i = 0; i < dim_; ++i) {
-        const float m = static_cast<float>(accs[s].sum[i] / accs[s].count);
-        st.mean[i] = m;
-        st.var[i] = static_cast<float>(std::max(
-            accs[s].sqsum[i] / accs[s].count - m * m, 1e-3));
+      double total = 0.0;
+      for (int c = 0; c < n_mix; ++c) total += accs[s * n_mix + c].count;
+      if (total < 3.0) continue;  // keep prior params for rare states
+      for (int c = 0; c < n_mix; ++c) {
+        const auto& a = accs[s * n_mix + c];
+        st.log_w[c] = static_cast<float>(
+            std::log(std::max(a.count / total, 1e-4)));
+        if (a.count < 3.0) continue;  // keep split-perturbed params
+        auto& g = st.comps[c];
+        for (int i = 0; i < dim_; ++i) {
+          const float m = static_cast<float>(a.sum[i] / a.count);
+          g.mean[i] = m;
+          g.var[i] = static_cast<float>(std::max(
+              a.sqsum[i] / a.count - m * m, 1e-3));
+        }
+        g.finalize();
       }
-      st.finalize();
     }
     return total_frames ? static_cast<float>(total_ll / total_frames)
                         : kLogZero;
@@ -420,12 +501,15 @@ class Aligner {
   bool save(const char* path) const {
     FILE* f = std::fopen(path, "wb");
     if (!f) return false;
-    const int32_t magic = 0x41334154;  // "A3TA"
-    int32_t hdr[4] = {magic, n_phones_, n_states_, dim_};
-    std::fwrite(hdr, sizeof(int32_t), 4, f);
+    const int32_t magic = 0x41334155;  // "A3TA" v2 (GMM)
+    int32_t hdr[5] = {magic, n_phones_, n_states_, dim_, n_mixtures()};
+    std::fwrite(hdr, sizeof(int32_t), 5, f);
     for (const auto& st : states_) {
-      std::fwrite(st.mean.data(), sizeof(float), dim_, f);
-      std::fwrite(st.var.data(), sizeof(float), dim_, f);
+      std::fwrite(st.log_w.data(), sizeof(float), st.log_w.size(), f);
+      for (const auto& g : st.comps) {
+        std::fwrite(g.mean.data(), sizeof(float), dim_, f);
+        std::fwrite(g.var.data(), sizeof(float), dim_, f);
+      }
     }
     std::fclose(f);
     return true;
@@ -434,33 +518,42 @@ class Aligner {
   static Aligner* load(const char* path) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return nullptr;
-    int32_t hdr[4];
-    if (std::fread(hdr, sizeof(int32_t), 4, f) != 4 || hdr[0] != 0x41334154) {
+    int32_t hdr[5];
+    if (std::fread(hdr, sizeof(int32_t), 5, f) != 5 ||
+        hdr[0] != 0x41334155) {
       std::fclose(f);
       return nullptr;
     }
     auto* a = new Aligner(hdr[1], hdr[2], hdr[3]);
+    const int n_mix = hdr[4];
+    bool ok = true;
     for (auto& st : a->states_) {
-      st.mean.resize(a->dim_);
-      st.var.resize(a->dim_);
-      if (std::fread(st.mean.data(), sizeof(float), a->dim_, f) !=
-              static_cast<size_t>(a->dim_) ||
-          std::fread(st.var.data(), sizeof(float), a->dim_, f) !=
-              static_cast<size_t>(a->dim_)) {
-        std::fclose(f);
-        delete a;
-        return nullptr;
+      st.comps.resize(n_mix);
+      st.log_w.resize(n_mix);
+      ok &= std::fread(st.log_w.data(), sizeof(float), n_mix, f) ==
+            static_cast<size_t>(n_mix);
+      for (auto& g : st.comps) {
+        g.mean.resize(a->dim_);
+        g.var.resize(a->dim_);
+        ok &= std::fread(g.mean.data(), sizeof(float), a->dim_, f) ==
+              static_cast<size_t>(a->dim_);
+        ok &= std::fread(g.var.data(), sizeof(float), a->dim_, f) ==
+              static_cast<size_t>(a->dim_);
+        g.finalize();
       }
-      st.finalize();
     }
     std::fclose(f);
+    if (!ok) {
+      delete a;
+      return nullptr;
+    }
     return a;
   }
 
  private:
   int n_phones_, n_states_, dim_;
   float log_self_, log_next_;
-  std::vector<GaussState> states_;
+  std::vector<GmmState> states_;
 };
 
 }  // namespace
@@ -516,6 +609,14 @@ float aligner_align(void* h, const float* feats, int n_frames,
                     const int* phones, int n_phones, int* starts, int* ends) {
   return static_cast<Aligner*>(h)->align(feats, n_frames, phones, n_phones,
                                          starts, ends);
+}
+
+void aligner_split_mixtures(void* h) {
+  static_cast<Aligner*>(h)->split_mixtures();
+}
+
+int aligner_n_mixtures(void* h) {
+  return static_cast<Aligner*>(h)->n_mixtures();
 }
 
 int aligner_save(void* h, const char* path) {

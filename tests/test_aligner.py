@@ -126,3 +126,35 @@ def test_align_corpus_writes_mfa_files(tmp_path):
         assert len(start[uid]) == len(end[uid]) == n
         assert (np.diff(start[uid]) >= 0).all()
         assert (end[uid] >= start[uid]).all()
+
+
+def test_gmm_mixture_splitting(trained_aligner):
+    """Mixture doubling raises likelihood and keeps alignment quality."""
+    rng = np.random.default_rng(21)
+    phone_set = ["A", "B", "C", "D"]
+    utts = []
+    for _ in range(20):
+        n = rng.integers(3, 6)
+        phones = [phone_set[i] for i in rng.integers(0, 4, n)]
+        durs = rng.uniform(0.1, 0.25, n)
+        wav, _ = _synth(phones, durs, rng)
+        utts.append((wav, phones))
+
+    aligner = NativeAligner(phone_set, FS)
+    lls = aligner.train(utts, n_iterations=5, n_mixtures=2)
+    assert aligner.n_mixtures == 2
+    # likelihood after the 2-mix block beats the 1-mix block's end
+    assert lls[-1] >= lls[4] - 0.2
+
+    # still aligns sensibly and round-trips through save/load
+    wav, bounds = _synth(["A", "B", "C"], [0.2, 0.2, 0.2], rng)
+    s1, e1 = aligner.align(wav, ["A", "B", "C"])
+    assert (e1 >= s1).all()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.bin")
+        aligner.save(path)
+        loaded = NativeAligner.load(path, FS)
+        assert loaded.n_mixtures == 2
+        s2, _ = loaded.align(wav, ["A", "B", "C"])
+        np.testing.assert_allclose(s1, s2)
