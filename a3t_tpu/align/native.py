@@ -60,6 +60,10 @@ def _load_library() -> ctypes.CDLL:
     lib.aligner_align.restype = ctypes.c_float
     lib.aligner_align.argtypes = [
         ctypes.c_void_p, f32p, ctypes.c_int, i32p, ctypes.c_int, i32p, i32p]
+    lib.aligner_align_opt.restype = ctypes.c_float
+    lib.aligner_align_opt.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), i32p, i32p]
     lib.aligner_save.restype = ctypes.c_int
     lib.aligner_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.aligner_split_mixtures.argtypes = [ctypes.c_void_p]
@@ -171,16 +175,30 @@ class NativeAligner:
         return lls
 
     # -- alignment -------------------------------------------------------
-    def align(self, wav: np.ndarray, phones: Sequence[str]):
-        """(wav, phones) -> (start_sec, end_sec) arrays per phone."""
+    def align(self, wav: np.ndarray, phones: Sequence[str],
+              optional: Sequence[bool] | None = None):
+        """(wav, phones) -> (start_sec, end_sec) arrays per phone.
+
+        ``optional[i]`` marks skippable phones ('sp' short pauses between
+        words — the HVite optional-silence topology): the Viterbi path may
+        bypass them; skipped phones get zero-length spans."""
         f = np.ascontiguousarray(self.extract(wav), np.float32)
         ids = np.asarray([self.phone2id[p] for p in phones], np.int32)
         starts = np.zeros(len(ids), np.int32)
         ends = np.zeros(len(ids), np.int32)
         i32p = ctypes.POINTER(ctypes.c_int32)
-        ll = self.lib.aligner_align(
-            self.handle, _f32p(f), len(f), ids.ctypes.data_as(i32p),
-            len(ids), starts.ctypes.data_as(i32p), ends.ctypes.data_as(i32p))
+        if optional is not None:
+            flags = np.asarray(optional, np.uint8)
+            ll = self.lib.aligner_align_opt(
+                self.handle, _f32p(f), len(f), ids.ctypes.data_as(i32p),
+                len(ids), flags.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)),
+                starts.ctypes.data_as(i32p), ends.ctypes.data_as(i32p))
+        else:
+            ll = self.lib.aligner_align(
+                self.handle, _f32p(f), len(f), ids.ctypes.data_as(i32p),
+                len(ids), starts.ctypes.data_as(i32p),
+                ends.ctypes.data_as(i32p))
         if ll <= -1e29:
             raise RuntimeError("alignment failed (utterance too short?)")
         # window-center correction (see module docstring)
@@ -236,24 +254,35 @@ def align_corpus(
     wav = SoundScpReader(os.path.join(data_dir, "wav.scp"))
     text = read_2column_text(os.path.join(data_dir, "text"))
 
-    def to_phones(line: str) -> list[str]:
+    def to_phones(line: str) -> tuple[list[str], list[bool]]:
         if lexicon is None:
-            return line.split()
+            toks = line.split()
+            return toks, [t == "sp" for t in toks]
         phones: list[str] = []
-        for w in clean_words(line):
-            phones.extend(lexicon[w.upper()])
-        return phones
+        optional: list[bool] = []
+        words = clean_words(line)
+        for wi, w in enumerate(words):
+            wp = lexicon[w.upper()]
+            phones.extend(wp)
+            optional.extend([False] * len(wp))
+            if wi < len(words) - 1:
+                # optional inter-word short pause (HVite sp topology)
+                phones.append("sp")
+                optional.append(True)
+        return phones, optional
 
     utts = []
     uids = []
+    optionals = []
     for uid in wav.keys():
         if uid not in text:
             continue
         fs, x = wav[uid]
-        phones = to_phones(text[uid])
+        phones, optional = to_phones(text[uid])
         if not phones:
             continue
         utts.append((x, phones))
+        optionals.append(optional)
         uids.append(uid)
 
     phone_set = sorted({p for _, phones in utts for p in phones})
@@ -263,14 +292,21 @@ def align_corpus(
         aligner.save(model_path)
 
     mfa_text, mfa_start, mfa_end = {}, {}, {}
-    for uid, (x, phones) in zip(uids, utts):
+    for uid, (x, phones), optional in zip(uids, utts, optionals):
         try:
-            s, e = aligner.align(x, phones)
+            s, e = aligner.align(
+                x, phones, optional if any(optional) else None)
         except RuntimeError:
             continue
-        mfa_text[uid] = " ".join(phones)
-        mfa_start[uid] = np.round(s, 4)
-        mfa_end[uid] = np.round(e, 4)
+        # drop skipped zero-length sp entries (the reference's .aligned
+        # parse also omits them)
+        keep = [i for i in range(len(phones)) if e[i] > s[i]
+                or not optional[i]]
+        keep = [i for i in keep if e[i] > s[i] or not optional[i]]
+        kept_phones = [phones[i] for i in keep]
+        mfa_text[uid] = " ".join(kept_phones)
+        mfa_start[uid] = np.round(s[keep], 4)
+        mfa_end[uid] = np.round(e[keep], 4)
 
     write_2column_text(os.path.join(out_dir, "mfa_text"), mfa_text)
     write_num_sequence_text(os.path.join(out_dir, "mfa_start"), mfa_start)

@@ -387,30 +387,48 @@ class Aligner {
   }
 
   // Viterbi forced alignment of one utterance against a phone sequence.
+  // ``optional[p] != 0`` marks skippable phones (the 'sp' short-pause
+  // entries HVite inserts between words): the path may bypass their whole
+  // state chain.  Skipped phones get zero-length spans at the boundary.
   // Returns total log-likelihood; fills phone start/end frame indices.
   float align(const float* feats, int n_frames, const int* phones,
               int n_phones, int* starts, int* ends,
-              std::vector<int>* state_of_frame = nullptr) const {
+              std::vector<int>* state_of_frame = nullptr,
+              const uint8_t* optional = nullptr) const {
     const int S = n_phones * n_states_;
-    if (n_frames < n_phones) return kLogZero;
+    const int ns = n_states_;
+    if (n_frames <= 0 || n_phones <= 0) return kLogZero;
     std::vector<float> prev(S, kLogZero), cur(S, kLogZero);
     std::vector<uint8_t> back(static_cast<size_t>(n_frames) * S);
 
     auto emit = [&](int j, int t) {
-      const int p = phones[j / n_states_];
-      return state(p, j % n_states_).loglike(feats + static_cast<int64_t>(t) * dim_);
+      const int p = phones[j / ns];
+      return state(p, j % ns).loglike(feats + static_cast<int64_t>(t) * dim_);
+    };
+    auto opt = [&](int p) {
+      return optional != nullptr && p >= 0 && p < n_phones && optional[p];
     };
 
     prev[0] = emit(0, 0);
+    if (opt(0)) prev[ns] = emit(ns, 0);  // start may skip an initial sp
     for (int t = 1; t < n_frames; ++t) {
       for (int j = 0; j < S; ++j) {
         float best = prev[j] + log_self_;
-        uint8_t from = 0;  // 0 = self, 1 = previous state
+        uint8_t from = 0;  // 0 self, 1 previous state, 2 skip prev phone
         if (j > 0) {
           const float via = prev[j - 1] + log_next_;
           if (via > best) {
             best = via;
             from = 1;
+          }
+        }
+        // first state of phone i, phone i-1 optional: arc from the last
+        // state of phone i-2 bypassing i-1
+        if (j % ns == 0 && j >= 2 * ns && opt(j / ns - 1)) {
+          const float via = prev[j - ns - 1] + log_next_;
+          if (via > best) {
+            best = via;
+            from = 2;
           }
         }
         cur[j] = best <= kLogZero ? kLogZero : best + emit(j, t);
@@ -419,23 +437,43 @@ class Aligner {
       std::swap(prev, cur);
     }
 
-    const float total = prev[S - 1];
+    // the path may end before a trailing optional sp
+    int end_j = S - 1;
+    float total = prev[S - 1];
+    if (opt(n_phones - 1) && n_phones >= 2 && prev[S - 1 - ns] > total) {
+      total = prev[S - 1 - ns];
+      end_j = S - 1 - ns;
+    }
     if (total <= kLogZero / 2) return kLogZero;
 
     // backtrack
     std::vector<int> path(n_frames);
-    int j = S - 1;
+    int j = end_j;
     for (int t = n_frames - 1; t >= 0; --t) {
       path[t] = j;
-      if (t > 0 && back[static_cast<size_t>(t) * S + j]) j -= 1;
+      if (t > 0) {
+        const uint8_t b = back[static_cast<size_t>(t) * S + j];
+        if (b == 1) j -= 1;
+        else if (b == 2) j -= ns + 1;
+      }
     }
     if (state_of_frame) *state_of_frame = path;
 
     for (int p = 0; p < n_phones; ++p) starts[p] = -1;
     for (int t = 0; t < n_frames; ++t) {
-      const int p = path[t] / n_states_;
+      const int p = path[t] / ns;
       if (starts[p] < 0) starts[p] = t;
       ends[p] = t + 1;
+    }
+    // zero-length spans for skipped optional phones at the boundary
+    int boundary = 0;
+    for (int p = 0; p < n_phones; ++p) {
+      if (starts[p] < 0) {
+        starts[p] = boundary;
+        ends[p] = boundary;
+      } else {
+        boundary = ends[p];
+      }
     }
     return total;
   }
@@ -609,6 +647,13 @@ float aligner_align(void* h, const float* feats, int n_frames,
                     const int* phones, int n_phones, int* starts, int* ends) {
   return static_cast<Aligner*>(h)->align(feats, n_frames, phones, n_phones,
                                          starts, ends);
+}
+
+float aligner_align_opt(void* h, const float* feats, int n_frames,
+                        const int* phones, int n_phones,
+                        const uint8_t* optional, int* starts, int* ends) {
+  return static_cast<Aligner*>(h)->align(feats, n_frames, phones, n_phones,
+                                         starts, ends, nullptr, optional);
 }
 
 void aligner_split_mixtures(void* h) {

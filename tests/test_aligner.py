@@ -158,3 +158,56 @@ def test_gmm_mixture_splitting(trained_aligner):
         assert loaded.n_mixtures == 2
         s2, _ = loaded.align(wav, ["A", "B", "C"])
         np.testing.assert_allclose(s1, s2)
+
+
+def test_optional_sp_alignment(trained_aligner):
+    """Skippable 'sp' phones: absent pauses collapse to zero length,
+    real pauses get frames."""
+    rng = np.random.default_rng(33)
+    phone_set = ["A", "B", "C", "SP"]
+    # train with silence segments so SP has a model
+    utts = []
+    for _ in range(25):
+        n = rng.integers(2, 4)
+        phones, durs = [], []
+        for k in range(n):
+            phones.append(["A", "B", "C"][rng.integers(0, 3)])
+            durs.append(rng.uniform(0.12, 0.3))
+            if k < n - 1 and rng.random() < 0.5:
+                phones.append("SP")
+                durs.append(rng.uniform(0.05, 0.15))
+        wav, _ = _synth_with_silence(phones, durs, rng)
+        utts.append((wav, phones))
+    aligner = NativeAligner(phone_set, FS)
+    aligner.train(utts, n_iterations=8)
+
+    # utterance WITH a real pause between A and B
+    wav, bounds = _synth_with_silence(["A", "SP", "B"], [0.25, 0.12, 0.25],
+                                      rng)
+    s, e = aligner.align(wav, ["A", "SP", "B"], optional=[False, True, False])
+    assert e[1] > s[1]  # pause detected
+
+    # utterance WITHOUT a pause: sp collapses
+    wav2, _ = _synth_with_silence(["A", "B"], [0.25, 0.25], rng)
+    s2, e2 = aligner.align(wav2, ["A", "SP", "B"],
+                           optional=[False, True, False])
+    dur_sp = e2[1] - s2[1]
+    assert dur_sp <= 0.05  # (near-)zero length
+    assert e2[-1] > s2[-1]
+
+
+def _synth_with_silence(phones, durs, rng, fs=FS):
+    freqs = {"A": 170.0, "B": 260.0, "C": 350.0}
+    total = int(sum(durs) * fs)
+    wav = np.zeros(total, np.float32)
+    t0 = 0.0
+    bounds = []
+    for p, d in zip(phones, durs):
+        s, e = int(t0 * fs), int((t0 + d) * fs)
+        if p != "SP":
+            tt = np.arange(s, min(e, total)) / fs
+            wav[s:len(tt) + s] = 0.4 * np.sin(2 * np.pi * freqs[p] * tt)
+        bounds.append((t0, t0 + d))
+        t0 += d
+    wav += 0.004 * rng.standard_normal(total).astype(np.float32)
+    return wav, bounds
