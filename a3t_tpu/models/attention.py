@@ -107,6 +107,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+        # NOTE: deterministic is positional arg 4 for nn.remat static_argnums
         d_model = x.shape[-1]
         d_k = d_model // self.n_head
         if self.dtype is not None:

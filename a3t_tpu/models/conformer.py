@@ -63,6 +63,9 @@ class EncoderConfig:
     compute_dtype: str = "float32"
     # rematerialize each block in backward (FLOPs for HBM bandwidth)
     remat: bool = False
+    # rematerialize only the self-attention (recompute the (B,H,L,L)
+    # scores/probs/dropout in backward instead of storing them)
+    remat_attention: bool = False
 
     @property
     def dtype(self):
@@ -167,13 +170,18 @@ class ConformerBlock(nn.Module):
             )(h, n_frames if n_frames is not None else h.shape[1],
               flat_mask, deterministic=det)
         elif c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):
-            h = RelPositionMultiHeadedAttention(
+            attn_cls = RelPositionMultiHeadedAttention
+            if c.remat_attention:
+                # recompute scores/softmax/dropout in backward: saves the
+                # (B,H,L,L) activations, costs one extra QK^T matmul
+                attn_cls = nn.remat(attn_cls, static_argnums=(4,))
+            h = attn_cls(
                 c.attention_heads,
                 c.attention_dropout_rate,
                 legacy=c.selfattention_layer_type == "legacy_rel_selfattn",
                 dtype=c.dtype,
                 name="self_attn",
-            )(h, pos_emb, mask, deterministic=det)
+            )(h, pos_emb, mask, det)
         else:
             h = MultiHeadedAttention(
                 c.attention_heads, c.attention_dropout_rate, dtype=c.dtype,
