@@ -128,6 +128,16 @@ class FileAlignmentSource:
 # edited-span diffing (get_phns_and_spans, ref :437-504)
 # ---------------------------------------------------------------------------
 
+def _word_entries(word2phns: dict[str, list[str]]) -> list[tuple[int, str, list[str]]]:
+    """Unpack an ordered ``"idx_WORD" -> phones`` mapping into
+    ``(word_index, word, phones)`` triples."""
+    out = []
+    for key, phones in word2phns.items():
+        idx, word = key.split("_", 1)
+        out.append((int(idx), word, list(phones)))
+    return out
+
+
 def diff_phone_spans(
     alignment: UtteranceAlignment,
     old_str: str,
@@ -137,99 +147,105 @@ def diff_phone_spans(
 ) -> tuple[list[str], list[int], list[int]]:
     """Find the phone spans that differ between old and new text.
 
-    Returns (new_phns, span_tobe_replaced [old-phone idx), span_tobe_added
-    [new-phone idx)).  Matches the reference's left/right scan over the
-    word->phones dicts, including 'sp' handling, the append (prompt) mode
-    and the empty-middle widening.
+    Scans for the longest common *word* prefix and suffix between the old
+    alignment's word->phones mapping and the new text's, treating silence
+    ("sp") entries — which exist only on the aligned side — as transparent.
+    Returns ``(new_phns, edit_span_old, edit_span_new)`` where the spans are
+    half-open ``[start, stop)`` phone-index intervals into the old and new
+    phone sequences.  Behaviorally equivalent to the reference's
+    get_phns_and_spans (sedit_inference.py:437-504), including the append
+    (prompt-TTS) mode and the one-phone widening applied when the texts
+    differ but the diffed middle comes out empty.
     """
-    append_new_str = old_str == new_str[: len(old_str)]
     old_phns = alignment.phones
-    word2phns = alignment.word2phns
+    old_words = _word_entries(alignment.word2phns)
+    new_phns_all, new_map = words2phns(new_str, lexicon, g2p)
+    n_old, n_new = len(old_phns), len(new_phns_all)
 
-    new_phns_all, new_word2phns = words2phns(new_str, lexicon, g2p)
+    # --- common word prefix (left pass) ---
+    # `prefix` accumulates phones from the *old* alignment (so sp stays in);
+    # `new_consumed` counts how many phones of the new text those words cover.
+    prefix: list[str] = []
+    new_consumed = 0
+    sil_seen = 0
+    edit_old = [0, n_old - 1]
+    edit_new = [0, n_new - 1]
+    for widx, word, phones in old_words:
+        if word == "sp":
+            sil_seen += 1
+            prefix.append("sp")
+            continue
+        match = new_map.get(f"{widx - sil_seen}_{word}")
+        if match is None:
+            edit_old[0] = edit_new[0] = len(prefix)
+            break
+        new_consumed += len(match)
+        prefix.extend(phones)
 
-    span_tobe_replaced = [0, len(old_phns) - 1]
-    span_tobe_added = [0, len(new_phns_all) - 1]
+    if old_str == new_str[: len(old_str)]:
+        # Append mode (prompt TTS): everything after the prefix is new.
+        middle = new_phns_all[new_consumed:]
+        edit_old[0] = edit_new[0] = len(prefix)
+        edit_new[1] = len(prefix) + len(middle)
+        edit_old[1] = n_old
+        return prefix + middle, edit_old, edit_new
 
-    left_index = 0
-    new_phns_left: list[str] = []
-    sp_count = 0
-    for key in word2phns:
-        idx, wrd = key.split("_", 1)
-        if wrd == "sp":
-            sp_count += 1
-            new_phns_left.append("sp")
-        else:
-            idx = str(int(idx) - sp_count)
-            if f"{idx}_{wrd}" in new_word2phns:
-                left_index += len(new_word2phns[f"{idx}_{wrd}"])
-                new_phns_left.extend(word2phns[key])
-            else:
-                span_tobe_replaced[0] = len(new_phns_left)
-                span_tobe_added[0] = len(new_phns_left)
-                break
+    # --- common word suffix (right pass) ---
+    # Word indices are aligned from the right: the old word at index i
+    # corresponds to the new word at i shifted by the index-range difference
+    # (silences, absent from the new text, shift it further).
+    suffix: list[str] = []
+    new_tail = 0  # phones of the new text covered by the matching suffix
+    sil_seen = 0
+    middle: list[str] = []
+    last_old = old_words[-1][0]
+    last_new = _word_entries(new_map)[-1][0] if new_map else 0
+    for widx, word, phones in reversed(old_words):
+        if word == "sp":
+            sil_seen += 1
+            suffix = ["sp"] + suffix
+            continue
+        mirrored = last_new - (last_old - widx - sil_seen)
+        match = new_map.get(f"{mirrored}_{word}")
+        if match is not None:
+            new_tail += len(match)
+            suffix = phones + suffix
+            continue
+        edit_old[1] = n_old - len(suffix)
+        # NB: when new_tail == 0 the slice stop is 0, i.e. an *empty*
+        # middle — the reference slices with a non-positive right_index
+        # (ref :494) and relies on the widening below; keep that.
+        middle = new_phns_all[new_consumed: -new_tail if new_tail else 0]
+        edit_new[1] = len(prefix) + len(middle)
+        if not middle:
+            # Texts differ but the word-level diff collapsed (e.g. a
+            # changed word maps to the same position): widen the edit
+            # window by one phone on each side so something is regenerated.
+            edit_new[0] = max(0, edit_new[0] - 1)
+            edit_new[1] = min(edit_new[1] + 1, n_new)
+            edit_old[0] = max(0, edit_old[0] - 1)
+            edit_old[1] = min(edit_old[1] + 1, n_old)
+        break
 
-    new_phns_right: list[str] = []
-    new_phns_middle: list[str] = []
-    if append_new_str:
-        new_phns_middle = new_phns_all[left_index:]
-        span_tobe_replaced[0] = len(new_phns_left)
-        span_tobe_added[0] = len(new_phns_left)
-        span_tobe_added[1] = len(new_phns_left) + len(new_phns_middle)
-        span_tobe_replaced[1] = len(old_phns) - len(new_phns_right)
-    else:
-        right_index = 0
-        sp_count = 0
-        word2phns_max_index = int(list(word2phns.keys())[-1].split("_")[0])
-        new_word2phns_max_index = int(
-            list(new_word2phns.keys())[-1].split("_")[0])
-        for key in list(word2phns.keys())[::-1]:
-            idx, wrd = key.split("_", 1)
-            if wrd == "sp":
-                sp_count += 1
-                new_phns_right = ["sp"] + new_phns_right
-            else:
-                idx = str(
-                    new_word2phns_max_index
-                    - (word2phns_max_index - int(idx) - sp_count)
-                )
-                if f"{idx}_{wrd}" in new_word2phns:
-                    right_index -= len(new_word2phns[f"{idx}_{wrd}"])
-                    new_phns_right = word2phns[key] + new_phns_right
-                else:
-                    span_tobe_replaced[1] = len(old_phns) - len(new_phns_right)
-                    # right_index <= 0: python slice semantics make 0 an
-                    # empty middle (triggering the widening below), matching
-                    # the reference exactly (ref :494)
-                    new_phns_middle = new_phns_all[left_index:right_index]
-                    span_tobe_added[1] = len(new_phns_left) + len(new_phns_middle)
-                    if len(new_phns_middle) == 0:
-                        span_tobe_added[1] = min(
-                            span_tobe_added[1] + 1, len(new_phns_all))
-                        span_tobe_added[0] = max(0, span_tobe_added[0] - 1)
-                        span_tobe_replaced[0] = max(0, span_tobe_replaced[0] - 1)
-                        span_tobe_replaced[1] = min(
-                            span_tobe_replaced[1] + 1, len(old_phns))
-                    break
-
-    new_phns = new_phns_left + new_phns_middle + new_phns_right
-    return new_phns, span_tobe_replaced, span_tobe_added
+    return prefix + middle + suffix, edit_old, edit_new
 
 
 def duration_adjust_factor(
     original_dur: Sequence[float], pred_dur: Sequence[float],
     phns: Sequence[str],
 ) -> float:
-    """Trimmed-mean ratio of true to predicted durations (ref :506-524)."""
-    factors = [
-        o / p
-        for o, p, phn in zip(original_dur, pred_dur, phns)
-        if p != 0 and phn != "sp"
-    ]
-    factors = np.sort(np.asarray(factors))
-    if len(factors) < 5:
+    """Trimmed-mean ratio of true to predicted durations (ref :506-524).
+
+    Non-silence phones' ``true/pred`` ratios are sorted and the two
+    smallest + two largest dropped; fewer than 5 usable phones -> 1.0.
+    """
+    ori = np.asarray(list(original_dur), dtype=float)
+    pred = np.asarray(list(pred_dur), dtype=float)
+    usable = (pred != 0) & np.asarray([p != "sp" for p in phns], dtype=bool)
+    ratios = np.sort(ori[usable] / pred[usable])
+    if ratios.size < 5:
         return 1.0
-    return float(np.average(factors[2:-2]))
+    return float(ratios[2:-2].mean())
 
 
 def masked_mel_boundary(

@@ -74,6 +74,37 @@ def test_diff_mask_token():
     assert rep == [4, 7]
 
 
+def test_diff_with_silence_words():
+    # alignments carry 'sp' entries that the plain text doesn't have; the
+    # diff must see through them on both the left and the right scans
+    align = _align_for(["hello", "big", "world"])
+    phones = (LEX["HELLO"] + ["sp"] + LEX["BIG"] + ["sp"] + LEX["WORLD"])
+    w2p = {
+        "0_HELLO": LEX["HELLO"], "1_sp": ["sp"], "2_BIG": LEX["BIG"],
+        "3_sp": ["sp"], "4_WORLD": LEX["WORLD"],
+    }
+    n = len(phones)
+    align = UtteranceAlignment(
+        phones, np.arange(n) * 0.1, np.arange(n) * 0.1 + 0.1, w2p)
+    new_phns, rep, add = diff_phone_spans(
+        align, "hello big world", "hello dog world", LEX)
+    # replaced span covers 'big' (old indices 5..8, after HELLO + sp)
+    assert rep == [5, 8]
+    assert new_phns[add[0]: add[1]] == LEX["DOG"]
+    assert new_phns == (LEX["HELLO"] + ["sp"] + LEX["DOG"]
+                        + ["sp"] + LEX["WORLD"])
+
+
+def test_diff_same_length_word_swap_widens_if_middle_empty():
+    # swapping a word for one with identical phones except position can
+    # produce an empty middle; the spans then widen by one phone each side
+    align = _align_for(["hello", "world"])
+    new_phns, rep, add = diff_phone_spans(
+        align, "hello world", "hello hello", LEX)
+    assert rep[0] <= 4 and rep[1] >= 4  # edit window covers the boundary
+    assert add[1] > add[0]  # never an empty regeneration window
+
+
 def test_duration_adjust_factor():
     # identical durations -> factor 1 (after trimming)
     ori = [0.1] * 9
