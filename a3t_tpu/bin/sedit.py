@@ -46,8 +46,13 @@ def build_editor(args):
     lexicon = {p.upper(): [p] for p in phones}
 
     duration_fn = None
-    if args.duration_exp_dir:
-        duration_fn = _fs2_duration_fn(args.duration_exp_dir)
+    if args.duration_model:
+        from a3t_tpu.inference.durations import load_duration_fn
+
+        spembs = None
+        if args.spk_xvector:
+            spembs = np.load(args.spk_xvector)
+        duration_fn = load_duration_fn(args.duration_model, spembs=spembs)
     elif args.uniform_duration > 0:
         duration_fn = lambda ph, wav: [args.uniform_duration] * len(ph)
 
@@ -56,12 +61,6 @@ def build_editor(args):
         duration_fn=duration_fn, lexicon=lexicon, g2p=letter_to_sound)
     dataset = A3TDataset(args.data_dir, conv)
     return editor, FileAlignmentSource(args.data_dir), dataset, texts
-
-
-def _fs2_duration_fn(exp_dir: str):
-    raise NotImplementedError(
-        "FS2 duration experiments are loaded via a3t_tpu.inference."
-        "baselines.FS2Baselines; pass --uniform-duration for now")
 
 
 def main(argv=None):
@@ -76,9 +75,17 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default="ave")
     parser.add_argument("--vocoder", default=None,
                         help="parallel_wavegan checkpoint (griffin-lim if unset)")
-    parser.add_argument("--duration-exp-dir", default=None)
+    parser.add_argument(
+        "--duration-model", "--duration-exp-dir", dest="duration_model",
+        default=None,
+        help="FastSpeech2 duration predictor: an a3t_tpu FS2 exp dir or an "
+             "espnet2 .pth checkpoint (with config.yaml alongside)")
+    parser.add_argument("--spk-xvector", default=None,
+                        help=".npy x-vector for the duration model's speaker "
+                             "conditioning (spk2xvector entry)")
     parser.add_argument("--uniform-duration", type=float, default=0.1,
-                        help="fallback per-phone duration in seconds")
+                        help="fallback per-phone duration in seconds "
+                             "(ignored when --duration-model is given)")
     args = parser.parse_args(argv)
 
     from a3t_tpu.data.fileio import write_wav

@@ -6,6 +6,7 @@ from a3t_tpu.inference.sedit import (
     diff_phone_spans,
     duration_adjust_factor,
 )
+from a3t_tpu.inference.durations import load_duration_fn, make_fs2_duration_fn
 
 __all__ = [
     "SpeechEditor",
@@ -14,4 +15,6 @@ __all__ = [
     "words2phns",
     "diff_phone_spans",
     "duration_adjust_factor",
+    "load_duration_fn",
+    "make_fs2_duration_fn",
 ]

@@ -77,6 +77,17 @@ class FastSpeech2Config:
     variance_predictor_kernel: int = 3
     variance_embed_kernel: int = 9
     variance_dropout: float = 0.5
+    # per-predictor overrides (None -> variance_* defaults); the published
+    # gst+xvector conformer FS2 uses a 5-layer pitch predictor with
+    # kernel-1 embeds (train_gst+xvector_conformer_fastspeech2.yaml:54-66)
+    pitch_predictor_layers: Optional[int] = None
+    pitch_predictor_chans: Optional[int] = None
+    pitch_predictor_kernel: Optional[int] = None
+    pitch_embed_kernel: Optional[int] = None
+    energy_predictor_layers: Optional[int] = None
+    energy_predictor_chans: Optional[int] = None
+    energy_predictor_kernel: Optional[int] = None
+    energy_embed_kernel: Optional[int] = None
     use_gst: bool = False
     gst_tokens: int = 10
     gst_heads: int = 4
@@ -171,19 +182,26 @@ class FastSpeech2(nn.Module):
             n_chans=c.duration_predictor_chans,
             kernel_size=c.duration_predictor_kernel,
             name="duration_predictor")
+        def _or(v, default):
+            return default if v is None else v
+
         self.pitch_predictor = VariancePredictor(
-            c.variance_predictor_layers, c.variance_predictor_chans,
-            c.variance_predictor_kernel, c.variance_dropout,
-            name="pitch_predictor")
+            _or(c.pitch_predictor_layers, c.variance_predictor_layers),
+            _or(c.pitch_predictor_chans, c.variance_predictor_chans),
+            _or(c.pitch_predictor_kernel, c.variance_predictor_kernel),
+            c.variance_dropout, name="pitch_predictor")
         self.energy_predictor = VariancePredictor(
-            c.variance_predictor_layers, c.variance_predictor_chans,
-            c.variance_predictor_kernel, c.variance_dropout,
-            name="energy_predictor")
+            _or(c.energy_predictor_layers, c.variance_predictor_layers),
+            _or(c.energy_predictor_chans, c.variance_predictor_chans),
+            _or(c.energy_predictor_kernel, c.variance_predictor_kernel),
+            c.variance_dropout, name="energy_predictor")
         self.pitch_embed = nn.Conv(
-            c.adim, (c.variance_embed_kernel,), padding="SAME",
+            c.adim, (_or(c.pitch_embed_kernel, c.variance_embed_kernel),),
+            padding="SAME",
             kernel_init=xavier(), bias_init=zeros, name="pitch_embed")
         self.energy_embed = nn.Conv(
-            c.adim, (c.variance_embed_kernel,), padding="SAME",
+            c.adim, (_or(c.energy_embed_kernel, c.variance_embed_kernel),),
+            padding="SAME",
             kernel_init=xavier(), bias_init=zeros, name="energy_embed")
 
         self.feat_out = nn.Dense(c.odim, kernel_init=xavier(),

@@ -92,6 +92,22 @@ _NESTED = {
 
 
 def _field_dataclass(cls, f) -> Optional[type]:
+    """Resolve the dataclass type of a field, preferring the actual type
+    annotation (so task configs with differently-typed fields of the same
+    name — e.g. MLM vs FS2 ``model`` — both round-trip)."""
+    import typing
+
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
+    t = hints.get(f.name)
+    if t is not None:
+        if typing.get_origin(t) is typing.Union:
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            t = args[0] if len(args) == 1 else None
+        if t is not None and dataclasses.is_dataclass(t):
+            return t
     return _NESTED.get(f.name)
 
 
@@ -104,6 +120,11 @@ def _to_dict(obj) -> Any:
     if isinstance(obj, tuple):
         return list(obj)
     return obj
+
+
+def load_yaml_dict(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        return yaml.safe_load(f) or {}
 
 
 def load_config(path: str, overrides: Optional[list[str]] = None) -> A3TTaskConfig:

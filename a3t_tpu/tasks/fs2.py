@@ -26,7 +26,9 @@ from a3t_tpu.models.fastspeech2 import (
     FastSpeech2Config,
     fastspeech2_loss,
 )
+from a3t_tpu.train.optim import OptimConfig
 from a3t_tpu.train.train_step import TrainState
+from a3t_tpu.train.trainer import TrainerConfig
 
 
 @dataclasses.dataclass
@@ -161,3 +163,155 @@ def create_fs2_state(model: FastSpeech2, tx, sample_batch) -> TrainState:
         opt_state=tx.init(variables["params"]),
         tx=tx,
     )
+
+
+# ---------------------------------------------------------------------------
+# the task: config-driven training + exp-dir reload (TTSTask analogue for
+# the fastspeech2 choice, espnet2/tasks/tts.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FS2TaskConfig:
+    train_data_dir: str = ""
+    valid_data_dir: str = ""
+    token_list: str = ""
+    exp_dir: str = "exp/fs2"
+    frontend: LogMelConfig = dataclasses.field(default_factory=LogMelConfig)
+    model: FastSpeech2Config = dataclasses.field(
+        default_factory=FastSpeech2Config)
+    batcher: FS2BatcherConfig = dataclasses.field(
+        default_factory=FS2BatcherConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(
+            max_epoch=100, num_iters_per_epoch=None,
+            best_model_criterion=("train", "loss", "min")))
+
+
+class FS2Task:
+    """FastSpeech2 training with the same exp-dir layout as MLMTask
+    (config.yaml + tokens.txt + checkpoints/), so trained duration
+    predictors plug straight into speech editing
+    (a3t_tpu.inference.durations.load_duration_fn)."""
+
+    @classmethod
+    def build_token_converter(cls, cfg: FS2TaskConfig):
+        import os
+
+        from a3t_tpu.text import TokenIDConverter, build_token_list
+        from a3t_tpu.data.fileio import read_2column_text
+
+        if cfg.token_list and os.path.exists(cfg.token_list):
+            return TokenIDConverter(cfg.token_list)
+        texts = read_2column_text(
+            os.path.join(cfg.train_data_dir, "text")).values()
+        return TokenIDConverter(build_token_list(texts))
+
+    @classmethod
+    def build_model(cls, cfg: FS2TaskConfig, vocab_size: int) -> FastSpeech2:
+        # eos is an extra trailing id (fastspeech2.py:539-541: eos = idim-1)
+        model_cfg = dataclasses.replace(
+            cfg.model, idim=vocab_size + 1, odim=cfg.frontend.n_mels)
+        return FastSpeech2(model_cfg)
+
+    @classmethod
+    def run(cls, cfg: FS2TaskConfig):
+        import os
+
+        from a3t_tpu.tasks.config import save_config
+        from a3t_tpu.train import Trainer, make_optimizer
+        from a3t_tpu.train.checkpoint import CheckpointManager
+
+        os.makedirs(cfg.exp_dir, exist_ok=True)
+        save_config(cfg, os.path.join(cfg.exp_dir, "config.yaml"))
+        conv = cls.build_token_converter(cfg)
+        conv.save(os.path.join(cfg.exp_dir, "tokens.txt"))
+
+        model = cls.build_model(cfg, len(conv))
+        eos_id = model.config.idim - 1
+        fe = LogMelFrontend(cfg.frontend)
+        tx = make_optimizer(cfg.optim)
+
+        batcher = FS2Batcher(
+            A3TDataset(cfg.train_data_dir, conv), cfg.frontend, cfg.batcher)
+        valid_batcher = (
+            FS2Batcher(A3TDataset(cfg.valid_data_dir, conv), cfg.frontend,
+                       cfg.batcher)
+            if cfg.valid_data_dir else None)
+
+        def to_device(it):
+            for b in it:
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+        sample = next(iter(batcher.epoch_iterator(0, eos_id)))
+        sample = {k: jnp.asarray(v) for k, v in sample.items()}
+        state = create_fs2_state(model, tx, sample)
+
+        train_step = make_fs2_train_step(model, fe)
+
+        def eval_step(state, batch):
+            def loss_only(params, batch_stats, batch):
+                mel, _ = fe.fused(batch["audio"], batch["audio_lengths"])
+                mel = mel[:, : model.config.max_feat_len]
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch["text"], batch["text_mask"],
+                    speech=mel if model.config.use_gst else None,
+                    durations=batch["durations"], pitch=batch["pitch"],
+                    energy=batch["energy"], train=False)
+                targets = dict(mel=mel, durations=batch["durations"],
+                               pitch=batch["pitch"], energy=batch["energy"])
+                return fastspeech2_loss(out, targets, batch["text_mask"])
+
+            return jax.jit(loss_only)(state.params, state.batch_stats, batch)
+
+        trainer = Trainer(
+            cfg.trainer,
+            train_step,
+            eval_step if valid_batcher else None,
+            lambda e: to_device(batcher.epoch_iterator(e, eos_id)),
+            (lambda e: to_device(valid_batcher.epoch_iterator(e, eos_id)))
+            if valid_batcher else None,
+            CheckpointManager(
+                os.path.join(cfg.exp_dir, "checkpoints"),
+                keep_nbest=cfg.trainer.keep_nbest_models,
+                criterion=cfg.trainer.best_model_criterion,
+            ),
+        )
+        return trainer.run(state)
+
+    @classmethod
+    def build_model_from_dir(cls, exp_dir: str, which: str = "ave"):
+        """(model, variables, config, tokens) from a training run — the
+        mirror of MLMTask.build_model_from_dir."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from a3t_tpu.tasks.config import _build, load_yaml_dict
+        from a3t_tpu.text import TokenIDConverter
+        from a3t_tpu.train.checkpoint import CheckpointManager
+
+        cfg = _build(FS2TaskConfig,
+                     load_yaml_dict(os.path.join(exp_dir, "config.yaml")))
+        conv = TokenIDConverter(os.path.join(exp_dir, "tokens.txt"))
+        model = cls.build_model(cfg, len(conv))
+
+        ckpt_dir = os.path.join(exp_dir, "checkpoints")
+        reader = ocp.StandardCheckpointer()
+        ave = [d for d in os.listdir(ckpt_dir) if d.startswith("ave_")]
+        if which == "ave" and ave:
+            params = reader.restore(
+                os.path.join(ckpt_dir, sorted(ave)[-1]))["params"]
+            latest = CheckpointManager(ckpt_dir).latest_epoch()
+            stats = reader.restore(
+                os.path.join(ckpt_dir, f"epoch_{latest}"))["batch_stats"]
+        else:
+            if which in ("ave", "best", "latest"):
+                epoch = CheckpointManager(ckpt_dir).latest_epoch()
+            else:
+                epoch = int(which.split("_")[-1])
+            tree = reader.restore(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+            params, stats = tree["params"], tree["batch_stats"]
+        variables = {"params": params, "batch_stats": stats or {}}
+        return model, variables, cfg, conv

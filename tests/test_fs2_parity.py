@@ -112,6 +112,80 @@ def test_duration_prediction_parity(torch_fs2, rng):
 
 
 @requires_reference
+def test_conformer_duration_prediction_parity(rng):
+    """Conformer FS2 (the published gst+xvector duration predictors,
+    sedit_inference.py:32-36) through the same path."""
+    sys.path.insert(0, REFERENCE_DIR)
+    from espnet2.tts.fastspeech2.fastspeech2 import FastSpeech2 as TorchFS2
+    from espnet.nets.pytorch_backend.nets_utils import make_pad_mask
+
+    from a3t_tpu.compat.fs2_import import convert_fs2_state, espnet_fs2_config
+    from a3t_tpu.models.fastspeech2 import FastSpeech2
+
+    torch.manual_seed(1)
+    tts_conf = dict(
+        adim=ADIM, aheads=2, elayers=2, eunits=64, dlayers=1, dunits=64,
+        postnet_layers=0, duration_predictor_chans=16,
+        pitch_predictor_layers=3, pitch_predictor_chans=16,
+        energy_predictor_layers=2, energy_predictor_chans=16,
+        pitch_embed_kernel_size=1, energy_embed_kernel_size=1,
+        positionwise_layer_type="conv1d", positionwise_conv_kernel_size=3,
+        encoder_type="conformer", decoder_type="conformer",
+        conformer_pos_enc_layer_type="rel_pos",
+        conformer_self_attn_layer_type="rel_selfattn",
+        use_macaron_style_in_conformer=True, use_cnn_in_conformer=True,
+        conformer_enc_kernel_size=7, conformer_dec_kernel_size=7,
+        use_gst=True, gst_tokens=4, gst_heads=2, spk_embed_dim=SPK_DIM,
+        spk_embed_integration_type="add",
+        transformer_enc_dropout_rate=0.0,
+        transformer_enc_positional_dropout_rate=0.0,
+        transformer_enc_attn_dropout_rate=0.0,
+        transformer_dec_dropout_rate=0.0,
+        transformer_dec_positional_dropout_rate=0.0,
+        transformer_dec_attn_dropout_rate=0.0,
+    )
+    m = TorchFS2(idim=IDIM, odim=ODIM,
+                 gst_conv_chans_list=(4, 8), gst_conv_layers=2,
+                 gst_gru_units=16,
+                 duration_predictor_dropout_rate=0.0,
+                 pitch_predictor_dropout=0.0, energy_predictor_dropout=0.0,
+                 pitch_embed_dropout=0.0, energy_embed_dropout=0.0,
+                 **tts_conf)
+    m.eval()
+
+    t_len = 7
+    text = rng.integers(1, IDIM - 1, t_len)
+    speech = rng.standard_normal((40, ODIM)).astype(np.float32)
+    spembs = rng.standard_normal(SPK_DIM).astype(np.float32)
+
+    tt = torch.from_numpy(np.concatenate([text, [IDIM - 1]]))[None]
+    ilens = torch.tensor([t_len + 1])
+    with torch.no_grad():
+        x_masks = m._source_mask(ilens)
+        hs, _ = m.encoder(tt, x_masks)
+        style = m.gst(torch.from_numpy(speech)[None])
+        hs = hs + style.unsqueeze(1)
+        hs = m._integrate_with_spk_embed(hs, torch.from_numpy(spembs)[None])
+        d_masks = make_pad_mask(ilens)
+        ref_d = m.duration_predictor.inference(hs, d_masks)[0].numpy()
+
+    cfg = espnet_fs2_config(tts_conf, idim=IDIM, odim=ODIM)
+    cfg = cfg.__class__(**{
+        **{f.name: getattr(cfg, f.name)
+           for f in __import__("dataclasses").fields(cfg)},
+        "gst_conv_chans_list": (4, 8), "gst_gru_units": 16,
+        "max_feat_len": 64})
+    model = FastSpeech2(cfg)
+    variables = convert_fs2_state(m.state_dict())
+    jt = jnp.asarray(np.concatenate([text, [IDIM - 1]])[None], jnp.int32)
+    jmask = jnp.ones_like(jt, bool)
+    d_jax = model.apply(
+        variables, jt, jmask, speech=jnp.asarray(speech[None]),
+        spembs=jnp.asarray(spembs[None]), method=model.predict_durations)
+    np.testing.assert_array_equal(np.asarray(d_jax)[0], ref_d)
+
+
+@requires_reference
 def test_teacher_forced_synthesis_parity(torch_fs2, rng):
     """Full forward with given durations/pitch/energy matches."""
     from a3t_tpu.compat.fs2_import import convert_fs2_state
