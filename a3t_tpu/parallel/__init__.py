@@ -2,6 +2,8 @@ from a3t_tpu.parallel.mesh import MeshConfig, make_mesh, batch_sharding
 from a3t_tpu.parallel.sharding import (
     param_partition_spec,
     make_param_shardings,
+    moment_partition_spec,
+    shard_opt_state,
     shard_variables,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "batch_sharding",
     "param_partition_spec",
     "make_param_shardings",
+    "moment_partition_spec",
+    "shard_opt_state",
     "shard_variables",
 ]

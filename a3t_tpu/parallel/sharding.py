@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from a3t_tpu.parallel.mesh import MODEL_AXIS
+from a3t_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _path_str(path) -> str:
@@ -71,3 +71,53 @@ def shard_variables(mesh: Mesh, variables):
         variables,
     )
     return jax.device_put(variables, shardings)
+
+
+# ---------------------------------------------------------------------------
+# optimizer-state sharding (the fairscale-OSS / ZeRO-1 analogue the
+# reference enables via --sharded_ddp, trainer.py:215-220,244-248)
+# ---------------------------------------------------------------------------
+
+# moments smaller than this stay replicated — sharding tiny biases/norms
+# buys nothing and costs collective latency
+_MIN_SHARD_ELEMENTS = 2 ** 13
+
+
+def moment_partition_spec(path, value, data_size: int) -> P:
+    """PartitionSpec for one optimizer-moment tensor.
+
+    Keeps the parameter's tensor-parallel layout (moments must be laid out
+    like their parameter) and additionally shards the first free dimension
+    divisible by the data-axis size — so Adam's mu/nu live once across the
+    data replicas instead of once per replica.
+    """
+    base = param_partition_spec(path, value)
+    spec = list(base) + [None] * (value.ndim - len(base))
+    if value.size >= _MIN_SHARD_ELEMENTS:
+        for i, s in enumerate(spec):
+            if s is None and value.shape[i] % data_size == 0 \
+                    and value.shape[i] >= data_size:
+                spec[i] = DATA_AXIS
+                break
+    return P(*spec)
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    """device_put an optax state with data-axis-sharded Adam moments.
+
+    Scalar counters and small tensors are replicated; everything else is
+    partitioned per :func:`moment_partition_spec`.  Inside the jitted train
+    step XLA then keeps only the local moment shard per device and
+    all-gathers the parameter update (reduce-scatter/all-gather — the
+    ZeRO-1 dataflow) instead of replicating optimizer memory.
+    """
+    data_size = mesh.shape.get(DATA_AXIS, 1)
+
+    def sharding(path, v):
+        if getattr(v, "ndim", 0) == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(
+            mesh, moment_partition_spec(path, v, data_size))
+
+    shardings = jax.tree_util.tree_map_with_path(sharding, opt_state)
+    return jax.device_put(opt_state, shardings)

@@ -21,7 +21,7 @@ from a3t_tpu.data.dataset import A3TDataset
 from a3t_tpu.data.iterator import EpochIterFactory
 from a3t_tpu.dsp import LogMelFrontend
 from a3t_tpu.models.mlm import A3TMLMModel
-from a3t_tpu.parallel import make_mesh, shard_variables
+from a3t_tpu.parallel import make_mesh, shard_opt_state, shard_variables
 from a3t_tpu.parallel.mesh import batch_sharding
 from a3t_tpu.tasks.config import A3TTaskConfig, load_config, save_config
 from a3t_tpu.text import TokenIDConverter, build_token_list
@@ -170,7 +170,9 @@ class MLMTask:
         if mesh is not None:
             state = state.replace(
                 params=shard_variables(mesh, state.params),
-                opt_state=jax.device_put(state.opt_state),
+                # Adam moments sharded over the data axis (the fairscale-OSS
+                # analogue, reference trainer.py:215-220)
+                opt_state=shard_opt_state(mesh, state.opt_state),
             )
 
         tb_writer = None

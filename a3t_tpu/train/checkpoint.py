@@ -70,14 +70,97 @@ class CheckpointManager:
         phase, key, mode = self.criterion
         ranked = reporter.sort_epochs(phase, key, mode)
         keep = set(ranked[: self.keep_nbest])
-        if ranked:
-            keep.add(reporter.epoch)  # always keep the newest for resume
+        # always keep the newest for resume — even when the criterion phase
+        # has no stats yet (e.g. training without a validation set)
+        keep.add(reporter.epoch)
         for name in os.listdir(self.directory):
             if not name.startswith("epoch_"):
                 continue
             e = int(name.split("_")[1])
             if e not in keep:
                 shutil.rmtree(os.path.join(self.directory, name))
+
+    # -- mid-epoch (preemption-safety) checkpoints ------------------------
+    def _step_dir(self, epoch: int, iteration: int) -> str:
+        return os.path.join(self.directory, f"step_e{epoch}_i{iteration}")
+
+    def save_mid_epoch(self, epoch: int, iteration: int, state,
+                       reporter: Reporter):
+        """Save full training state mid-epoch under a step-keyed name.
+
+        Unlike :meth:`save_epoch` this does not touch the epoch
+        checkpoints, n-best ranking or the LATEST pointer; resume picks the
+        step checkpoint up only when it is newer than the latest epoch.
+        Only the most recent mid-epoch checkpoint is retained.
+        """
+        tree = {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+        path = self._step_dir(epoch, iteration)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, tree)
+        self._ckpt.wait_until_finished()
+        with open(os.path.join(self.directory, "meta_step.json"), "w") as f:
+            json.dump({"epoch": epoch, "iteration": iteration,
+                       "reporter": reporter.state_dict()}, f)
+        for name in os.listdir(self.directory):
+            if name.startswith("step_") and name != os.path.basename(path):
+                shutil.rmtree(os.path.join(self.directory, name))
+
+    def latest_mid_epoch(self) -> Optional[tuple[int, int]]:
+        """(epoch, iteration) of the newest mid-epoch checkpoint, if any."""
+        best = None
+        for name in os.listdir(self.directory):
+            if not name.startswith("step_e"):
+                continue
+            e, i = name[len("step_e"):].split("_i")
+            key = (int(e), int(i))
+            if best is None or key > best:
+                best = key
+        return best
+
+    def restore_mid_epoch(self, template_state, reporter: Reporter):
+        """Restore the newest mid-epoch checkpoint.
+
+        Returns (state, epoch, iteration); caller resumes that epoch
+        skipping the first ``iteration`` batches (data order is epoch-seeded
+        so the skipped prefix is identical).
+        """
+        key = self.latest_mid_epoch()
+        if key is None:
+            raise FileNotFoundError("no mid-epoch checkpoint")
+        epoch, iteration = key
+        tree = {
+            "step": template_state.step,
+            "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+        }
+        restored = self._ckpt.restore(self._step_dir(epoch, iteration), tree)
+        meta_path = os.path.join(self.directory, "meta_step.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                reporter.load_state_dict(json.load(f)["reporter"])
+        state = template_state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+        return state, epoch, iteration
+
+    def clear_mid_epoch(self):
+        """Drop mid-epoch checkpoints (called once their epoch completes)."""
+        for name in os.listdir(self.directory):
+            if name.startswith("step_"):
+                shutil.rmtree(os.path.join(self.directory, name))
+        meta = os.path.join(self.directory, "meta_step.json")
+        if os.path.exists(meta):
+            os.remove(meta)
 
     def latest_epoch(self) -> Optional[int]:
         marker = os.path.join(self.directory, "LATEST")

@@ -87,6 +87,7 @@ class Trainer:
     def run(self, state):
         cfg = self.config
         start_epoch = 1
+        skip_iters = 0
         if cfg.resume and self.ckpt is not None:
             latest = self.ckpt.latest_epoch()
             if latest is not None:
@@ -94,10 +95,20 @@ class Trainer:
                 self.ckpt.restore_reporter(self.reporter)
                 start_epoch = latest + 1
                 logger.info("resumed from epoch %d", latest)
+            mid = self.ckpt.latest_mid_epoch()
+            if mid is not None and mid[0] >= start_epoch:
+                # a mid-epoch save is newer than the last full epoch:
+                # resume inside that epoch, fast-forwarding the data stream
+                state, epoch_m, skip_iters = self.ckpt.restore_mid_epoch(
+                    state, self.reporter)
+                start_epoch = epoch_m
+                logger.info("resumed mid-epoch %d at iter %d",
+                            epoch_m, skip_iters)
 
         for epoch in range(start_epoch, cfg.max_epoch + 1):
             self.reporter.start_epoch(epoch)
-            state = self.train_one_epoch(state, epoch)
+            state = self.train_one_epoch(state, epoch, skip_iters)
+            skip_iters = 0
             jax.block_until_ready(state.params)
             if self.valid_iter_factory is not None and self.eval_step is not None:
                 self.validate_one_epoch(state, epoch)
@@ -106,6 +117,7 @@ class Trainer:
 
             if self.ckpt is not None:
                 self.ckpt.save_epoch(epoch, state, self.reporter)
+                self.ckpt.clear_mid_epoch()  # superseded by the epoch save
 
             phase, key, mode = cfg.best_model_criterion
             if cfg.patience is not None and self.reporter.check_early_stopping(
@@ -125,7 +137,7 @@ class Trainer:
                 pass
         return state
 
-    def train_one_epoch(self, state, epoch: int):
+    def train_one_epoch(self, state, epoch: int, skip_iters: int = 0):
         cfg = self.config
         sub = self.reporter.phase("train")
         rng = jax.random.PRNGKey(cfg.seed + epoch)
@@ -135,6 +147,12 @@ class Trainer:
         for it, batch in enumerate(self.train_iter_factory(epoch)):
             if cfg.num_iters_per_epoch is not None and it >= cfg.num_iters_per_epoch:
                 break
+            if it < skip_iters:
+                # mid-epoch resume: replay the epoch-seeded stream without
+                # stepping; burn the per-iter rng so randomness matches an
+                # uninterrupted run
+                rng, _ = jax.random.split(rng)
+                continue
             if cfg.profile_dir and epoch == 1:
                 if it == 10:
                     jax.profiler.start_trace(cfg.profile_dir)
@@ -154,7 +172,7 @@ class Trainer:
             sub.register_time("step", t_last - t0)
             if (cfg.save_interval_steps and self.ckpt is not None
                     and (it + 1) % cfg.save_interval_steps == 0):
-                self.ckpt.save_epoch(epoch, state, self.reporter)
+                self.ckpt.save_mid_epoch(epoch, it + 1, state, self.reporter)
             if (it + 1) % cfg.log_interval == 0:
                 jax.block_until_ready(stats["loss"])
                 for s, w in pending:
