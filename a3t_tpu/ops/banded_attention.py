@@ -1,28 +1,350 @@
-"""Pallas TPU kernel: banded self-attention with global text tokens.
+"""Pallas TPU kernels: banded self-attention with global text tokens.
 
 The TPU equivalent of the reference's TVM-compiled CUDA diagonal-matmul
 kernel (espnet/nets/pytorch_backend/transformer/diagonaled_mm_tvm.py:8-329)
-used by Longformer attention.  One fused kernel computes, per query chunk of
-``c = window // 2`` speech frames:
+used by Longformer attention — including its custom backward (the reference
+kernel is an autograd.Function used in *training*).  One fused forward
+kernel computes, per query chunk of ``c = window // 2`` speech frames:
 
     scores = [q @ K_band^T ; q @ K_text^T] / sqrt(d)   (MXU)
     softmax over the 3c-band + text columns             (VPU, in VMEM)
     out    = attn @ [V_band ; V_text]                   (MXU)
 
 so neither the (T, 3c) score band nor the probabilities ever reach HBM.
-Text queries (a short global block) are handled by the caller with a plain
-einsum.  Forward-only: training uses the XLA chunked formulation in
-models/windowed_attention.py (same math, autodiff-able); this kernel serves
-long-audio inference where T is large.
+The backward is the flash-attention dataflow: the forward saves one
+logsumexp per query row, the backward recomputes probabilities in VMEM
+(two kernels: query-chunk-centric for dq + the global text-side grads,
+key-chunk-centric for dk/dv).  Text queries (a short global block) are
+handled by the caller with a plain einsum.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_NEG = np.float32(-1e30)
+
+
+def _chunk_spec(c, d, nc, offset):
+    def index_map(bi, hi, ci):
+        return (bi, hi, jnp.clip(ci + offset, 0, nc - 1), 0, 0)
+    return pl.BlockSpec((1, 1, 1, c, d), index_map, memory_space=pltpu.VMEM)
+
+
+def _row_spec(c, nc, offset):
+    """(B, H, nc, c) per-row statistics (lse / delta)."""
+    def index_map(bi, hi, ci):
+        return (bi, hi, jnp.clip(ci + offset, 0, nc - 1), 0)
+    return pl.BlockSpec((1, 1, 1, c), index_map, memory_space=pltpu.VMEM)
+
+
+def _text_spec(tt, d):
+    return pl.BlockSpec((1, 1, tt, d), lambda bi, hi, ci: (bi, hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _txm_spec(tt):
+    return pl.BlockSpec((1, 1, tt), lambda bi, hi, ci: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _band_masks(band, text, tm, i, n_i, c):
+    """Mask the phantom prev/next blocks at the edges + invalid text."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, 3 * c), 1)
+    band = jnp.where((i == 0) & (col < c), _NEG, band)
+    band = jnp.where((i == n_i - 1) & (col >= 2 * c), _NEG, band)
+    text = jnp.where(tm[0] > 0, text, _NEG)
+    return band, text
+
+
+def _fwd_call(q, k, v, k_text, v_text, txm, window: int, interpret: bool):
+    b, h, t, d = q.shape
+    c = window // 2
+    nc = t // c
+    tt = k_text.shape[2]
+    scale = np.float32(1.0 / np.sqrt(d))
+
+    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, out, lse):
+        i = pl.program_id(2)
+        n_i = pl.num_programs(2)
+        qq = q_r[0, 0, 0]
+        kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
+        vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
+
+        band = jax.lax.dot_general(
+            qq, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (c, 3c)
+        text = jax.lax.dot_general(
+            qq, kt[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (c, Tt)
+        band, text = _band_masks(band, text, tm, i, n_i, c)
+
+        m = jnp.maximum(band.max(axis=1, keepdims=True),
+                        text.max(axis=1, keepdims=True))
+        eb = jnp.exp(band - m)
+        et = jnp.exp(text - m)
+        denom = eb.sum(axis=1, keepdims=True) + et.sum(axis=1, keepdims=True)
+        res = (
+            jnp.dot(eb, vb, preferred_element_type=jnp.float32)
+            + jnp.dot(et, vt[0, 0], preferred_element_type=jnp.float32)
+        ) / denom
+        out[0, 0, 0] = res.astype(out.dtype)
+        lse[0, 0, 0] = (m + jnp.log(denom))[:, 0]
+
+    cs = functools.partial(_chunk_spec, c, d, nc)
+
+    def to_chunks(x):
+        return x.reshape(b, h, nc, c, d)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, h, nc),
+        in_specs=[
+            cs(0),                     # q
+            cs(-1), cs(0), cs(1),      # k band
+            _text_spec(tt, d),         # k text
+            cs(-1), cs(0), cs(1),      # v band
+            _text_spec(tt, d),         # v text
+            _txm_spec(tt),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, c, d),
+                         lambda bi, hi, ci: (bi, hi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c),
+                         lambda bi, hi, ci: (bi, hi, ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nc, c, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nc, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
+        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm,
+    )
+    return out.reshape(b, h, t, d), lse
+
+
+def _bwd_dq_call(q, k, v, k_text, v_text, txm, out_g, lse, delta,
+                 window: int, interpret: bool):
+    """Query-chunk pass: dq + the accumulated global text-side grads."""
+    b, h, t, d = q.shape
+    c = window // 2
+    nc = t // c
+    tt = k_text.shape[2]
+    scale = np.float32(1.0 / np.sqrt(d))
+
+    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, do_r, lse_r, dl_r,
+               dq, dkt, dvt):
+        i = pl.program_id(2)
+        n_i = pl.num_programs(2)
+        qq = q_r[0, 0, 0]
+        kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
+        vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
+        do = do_r[0, 0, 0].astype(jnp.float32)
+        l_i = lse_r[0, 0, 0][:, None]
+        d_i = dl_r[0, 0, 0][:, None]
+
+        band = jax.lax.dot_general(
+            qq, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        text = jax.lax.dot_general(
+            qq, kt[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        band, text = _band_masks(band, text, tm, i, n_i, c)
+
+        pb = jnp.exp(band - l_i)  # (c, 3c); masked entries exp(-inf) = 0
+        pt = jnp.exp(text - l_i)  # (c, Tt)
+
+        dp_b = jax.lax.dot_general(
+            do, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp_t = jax.lax.dot_general(
+            do, vt[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds_b = pb * (dp_b - d_i)
+        ds_t = pt * (dp_t - d_i)
+
+        dq_i = (jnp.dot(ds_b, kb, preferred_element_type=jnp.float32)
+                + jnp.dot(ds_t, kt[0, 0],
+                          preferred_element_type=jnp.float32)) * scale
+        dq[0, 0, 0] = dq_i.astype(dq.dtype)
+
+        dkt_p = jax.lax.dot_general(  # (Tt, d) = ds_t^T @ q
+            ds_t, qq, (((0,), (0,)), ((), ()))) * scale
+        dvt_p = jax.lax.dot_general(  # (Tt, d) = p_t^T @ do
+            pt, do, (((0,), (0,)), ((), ())))
+
+        @pl.when(i == 0)
+        def _init():
+            dkt[0, 0] = jnp.zeros_like(dkt[0, 0])
+            dvt[0, 0] = jnp.zeros_like(dvt[0, 0])
+
+        dkt[0, 0] += dkt_p.astype(dkt.dtype)
+        dvt[0, 0] += dvt_p.astype(dvt.dtype)
+
+    cs = functools.partial(_chunk_spec, c, d, nc)
+    rs = functools.partial(_row_spec, c, nc)
+
+    def to_chunks(x):
+        return x.reshape(b, h, nc, c, d)
+
+    dq, dkt, dvt = pl.pallas_call(
+        kernel,
+        grid=(b, h, nc),
+        in_specs=[
+            cs(0),
+            cs(-1), cs(0), cs(1),
+            _text_spec(tt, d),
+            cs(-1), cs(0), cs(1),
+            _text_spec(tt, d),
+            _txm_spec(tt),
+            cs(0),   # dout
+            rs(0),   # lse
+            rs(0),   # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, c, d),
+                         lambda bi, hi, ci: (bi, hi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _text_spec(tt, d),
+            _text_spec(tt, d),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nc, c, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tt, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tt, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
+        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm,
+        to_chunks(out_g), lse, delta,
+    )
+    return dq.reshape(b, h, t, d), dkt, dvt
+
+
+def _bwd_dkv_call(q, k, v, out_g, lse, delta, window: int, interpret: bool):
+    """Key-chunk pass: dk/dv from the three neighbouring query chunks."""
+    b, h, t, d = q.shape
+    c = window // 2
+    nc = t // c
+    scale = np.float32(1.0 / np.sqrt(d))
+
+    def kernel(k_r, v_r, qp, qc, qn, dop, doc, don, lp, lc, ln, dp_, dc_, dn_,
+               dk, dv):
+        j = pl.program_id(2)
+        n_j = pl.num_programs(2)
+        kk = k_r[0, 0, 0]
+        vv = v_r[0, 0, 0]
+
+        dk_acc = jnp.zeros((c, d), jnp.float32)
+        dv_acc = jnp.zeros((c, d), jnp.float32)
+        neighbours = (
+            (-1, qp, dop, lp, dp_),
+            (0, qc, doc, lc, dc_),
+            (1, qn, don, ln, dn_),
+        )
+        for off, q_r, do_r, l_r, dl_r in neighbours:
+            i_q = j + off
+            valid = jnp.logical_and(i_q >= 0, i_q <= n_j - 1)
+            w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
+            qq = q_r[0, 0, 0]
+            do = do_r[0, 0, 0].astype(jnp.float32)
+            l_i = l_r[0, 0, 0][:, None]
+            d_i = dl_r[0, 0, 0][:, None]
+
+            s = jax.lax.dot_general(
+                qq, kk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (c, c)
+            p = jnp.exp(s - l_i)
+            dp = jax.lax.dot_general(
+                do, vv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - d_i)
+
+            dv_acc += w * jax.lax.dot_general(  # p^T @ do
+                p, do, (((0,), (0,)), ((), ())))
+            dk_acc += w * scale * jax.lax.dot_general(  # ds^T @ q
+                ds, qq, (((0,), (0,)), ((), ())))
+
+        dk[0, 0, 0] = dk_acc.astype(dk.dtype)
+        dv[0, 0, 0] = dv_acc.astype(dv.dtype)
+
+    cs = functools.partial(_chunk_spec, c, d, nc)
+    rs = functools.partial(_row_spec, c, nc)
+
+    def to_chunks(x):
+        return x.reshape(b, h, nc, c, d)
+
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, h, nc),
+        in_specs=[
+            cs(0), cs(0),                    # k_j, v_j
+            cs(-1), cs(0), cs(1),            # q neighbours
+            cs(-1), cs(0), cs(1),            # dout neighbours
+            rs(-1), rs(0), rs(1),            # lse neighbours
+            rs(-1), rs(0), rs(1),            # delta neighbours
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, c, d),
+                         lambda bi, hi, ci: (bi, hi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c, d),
+                         lambda bi, hi, ci: (bi, hi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nc, c, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, nc, c, d), q.dtype),
+        ],
+        interpret=interpret,
+    )(
+        to_chunks(k), to_chunks(v),
+        to_chunks(q), to_chunks(q), to_chunks(q),
+        to_chunks(out_g), to_chunks(out_g), to_chunks(out_g),
+        lse, lse, lse, delta, delta, delta,
+    )
+    return dk.reshape(b, h, t, d), dv.reshape(b, h, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _banded_attention(q, k, v, k_text, v_text, txm, window, interpret):
+    out, _ = _fwd_call(q, k, v, k_text, v_text, txm, window, interpret)
+    return out
+
+
+def _banded_fwd(q, k, v, k_text, v_text, txm, window, interpret):
+    out, lse = _fwd_call(q, k, v, k_text, v_text, txm, window, interpret)
+    return out, (q, k, v, k_text, v_text, txm, out, lse)
+
+
+def _banded_bwd(window, interpret, residuals, g):
+    q, k, v, k_text, v_text, txm, out, lse = residuals
+    b, h, t, d = q.shape
+    c = window // 2
+    nc = t // c
+    # delta = rowsum(dout * out) — the softmax-backward correction term
+    delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
+    delta = delta.reshape(b, h, nc, c)
+
+    dq, dkt, dvt = _bwd_dq_call(q, k, v, k_text, v_text, txm, g, lse, delta,
+                                window, interpret)
+    dk, dv = _bwd_dkv_call(q, k, v, g, lse, delta, window, interpret)
+    return (dq, dk, dv, dkt.astype(k_text.dtype), dvt.astype(v_text.dtype),
+            None)
+
+
+_banded_attention.defvjp(_banded_fwd, _banded_bwd)
 
 
 def banded_attention(
@@ -35,7 +357,7 @@ def banded_attention(
     window: int,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Fused banded attention for the speech queries.
+    """Fused banded attention for the speech queries (differentiable).
 
     Args:
         q, k, v:        (B, H, T, d) speech-side tensors, T % (window//2) == 0
@@ -51,78 +373,7 @@ def banded_attention(
     c = window // 2
     if t % c != 0:
         raise ValueError(f"T={t} not a multiple of half-window {c}")
-    nc = t // c
     tt = k_text.shape[2]
-
     txm = jnp.broadcast_to(
         text_mask[:, None, :].astype(jnp.int32), (b, 1, tt))
-
-    def chunk_spec(offset):
-        def index_map(bi, hi, ci):
-            return (bi, hi, jnp.clip(ci + offset, 0, nc - 1), 0, 0)
-        return pl.BlockSpec((1, 1, 1, c, d), index_map,
-                            memory_space=pltpu.VMEM)
-
-    text_spec = pl.BlockSpec(
-        (1, 1, tt, d), lambda bi, hi, ci: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM)
-    txm_spec = pl.BlockSpec(
-        (1, 1, tt), lambda bi, hi, ci: (bi, 0, 0), memory_space=pltpu.VMEM)
-
-    def to_chunks(x):
-        return x.reshape(b, h, nc, c, d)
-
-    scale = np.float32(1.0 / np.sqrt(d))
-
-    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, out):
-        i = pl.program_id(2)
-        n_i = pl.num_programs(2)
-        qq = q_r[0, 0, 0]
-        kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
-        vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
-
-        band = jax.lax.dot_general(
-            qq, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (c, 3c)
-        text = jax.lax.dot_general(
-            qq, kt[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (c, Tt)
-
-        neg = jnp.float32(-1e30)
-        col = jax.lax.broadcasted_iota(jnp.int32, (c, 3 * c), 1)
-        band = jnp.where((i == 0) & (col < c), neg, band)
-        band = jnp.where((i == n_i - 1) & (col >= 2 * c), neg, band)
-        text = jnp.where(tm[0] > 0, text, neg)
-
-        m = jnp.maximum(band.max(axis=1, keepdims=True),
-                        text.max(axis=1, keepdims=True))
-        eb = jnp.exp(band - m)
-        et = jnp.exp(text - m)
-        denom = eb.sum(axis=1, keepdims=True) + et.sum(axis=1, keepdims=True)
-        res = (
-            jnp.dot(eb, vb, preferred_element_type=jnp.float32)
-            + jnp.dot(et, vt[0, 0], preferred_element_type=jnp.float32)
-        ) / denom
-        out[0, 0, 0] = res.astype(out.dtype)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, h, nc),
-        in_specs=[
-            chunk_spec(0),                                   # q
-            chunk_spec(-1), chunk_spec(0), chunk_spec(1),    # k band
-            text_spec,                                       # k text
-            chunk_spec(-1), chunk_spec(0), chunk_spec(1),    # v band
-            text_spec,                                       # v text
-            txm_spec,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, c, d), lambda bi, hi, ci: (bi, hi, ci, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, nc, c, d), q.dtype),
-        interpret=interpret,
-    )(
-        to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
-        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm,
-    )
-    return out.reshape(b, h, t, d)
+    return _banded_attention(q, k, v, k_text, v_text, txm, window, interpret)

@@ -79,3 +79,51 @@ def test_banded_attention_kernel_matches_reference(rng):
     ref = np.einsum("bhts,bhsd->bhtd", attn, allv)
 
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_banded_attention_gradients_match_dense(rng):
+    """custom_vjp backward (flash-style Pallas kernels) vs autodiff through
+    a dense masked-attention reference — the training capability of the
+    reference's TVM kernel (diagonaled_mm_tvm.py:8-329 has a backward)."""
+    import jax
+    from a3t_tpu.ops.banded_attention import banded_attention
+
+    b, h, t, d, tt, window = 2, 2, 32, 16, 8, 8
+    c = window // 2
+    q = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    kt = rng.standard_normal((b, h, tt, d)).astype(np.float32)
+    vt = rng.standard_normal((b, h, tt, d)).astype(np.float32)
+    tmask = np.ones((b, tt), bool)
+    tmask[1, 5:] = False
+    # a fixed cotangent-inducing loss: weighted sum of outputs
+    w = rng.standard_normal((b, h, t, d)).astype(np.float32)
+
+    def kernel_loss(q, k, v, kt, vt):
+        out = banded_attention(q, k, v, kt, vt, jnp.asarray(tmask), window,
+                               interpret=True)
+        return (out * w).sum()
+
+    def dense_loss(q, k, v, kt, vt):
+        allk = jnp.concatenate([k, kt], axis=2)
+        allv = jnp.concatenate([v, vt], axis=2)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, allk) / np.sqrt(d)
+        qi = np.arange(t)[:, None] // c
+        ki = np.arange(t)[None, :] // c
+        band_ok = np.abs(qi - ki) <= 1
+        key_ok = np.concatenate(
+            [np.broadcast_to(band_ok, (b, t, t)),
+             np.broadcast_to(tmask[:, None, :], (b, t, tt))], axis=2)
+        scores = jnp.where(key_ok[:, None], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, allv)
+        return (out * w).sum()
+
+    args = tuple(jnp.asarray(x) for x in (q, k, v, kt, vt))
+    got = jax.grad(kernel_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    ref = jax.grad(dense_loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, g_got, g_ref in zip("q k v kt vt".split(), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad mismatch for {name}")
