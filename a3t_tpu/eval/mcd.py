@@ -3,40 +3,51 @@
 Reproduces the reference protocol (utils/mcd_calculate.py:152-211,
 aggregate_output/sedit_mcd.py:37-135):
 
-    wav -> low-cut filter -> spectral envelope -> mel-cepstrum (dim 80)
-        -> silence stripping by frame power (-20 dB threshold)
+    wav -> low-cut filter -> F0 -> CheapTrick spectral envelope
+        -> pysptk-semantics mel-cepstrum (sp2mc/freqt, dim 80, alpha 0.41)
+        -> silence stripping by normalized frame power (-20 dB threshold)
         -> DTW alignment -> mean over path of 10/ln10 * sqrt(2 * sum diff^2)
 
-The reference relies on C-backed pip packages (pyworld CheapTrick, pysptk
-sp2mc, fastdtw) that are not in this image, so the harness is clean-room
-numpy:
+The reference relies on C-backed pip packages that are not in this image,
+so every stage is clean-room numpy implementing the published algorithms:
 
-* the spectral envelope is a cepstrally-smoothed STFT power spectrum
-  (CheapTrick-like smoothing without F0 adaptivity),
-* sp2mc's all-pass frequency warping is implemented by resampling the log
-  envelope on the warped frequency grid before the inverse DFT,
-* DTW is the exact O(T^2) dynamic program (fastdtw approximates it).
+* F0: normalized-autocorrelation search in [f0min, f0max] with parabolic
+  refinement and median smoothing (fills the role of WORLD harvest);
+* envelope: CheapTrick (Morise 2015) — pitch-adaptive 3*T0 Hanning window,
+  DC correction below F0, 2F0/3 rectangular linear smoothing, and cepstral
+  liftering with the sinc smoothing lifter + q1=-0.15 compensation lifter;
+* sp2mc: exactly pysptk's semantics — real cepstrum of the log power
+  periodogram with c0 halved, then the SPTK ``freqt`` all-pass warping
+  recursion (realized as a cached linear map, so per-utterance cost is one
+  (T, fftl/2+1) @ (fftl/2+1, order+1) matmul);
+* DTW: exact O(T^2) dynamic program, vectorized over anti-diagonals
+  (the reference's fastdtw is an approximation with radius 1).
 
-Numbers are therefore *self-consistent* (same extractor on both sides of
-every comparison, which is what an MCD gate needs) though not bit-identical
-to pysptk's.
+freqt is cross-validated in tests against an independent warped-grid
+resampling formulation; the extractor reproduces the reference repo's own
+golden (test_utils/test_mcd_calculate_py.bats: a wav against itself is
+exactly 0.00 dB).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
 class MCDConfig:
-    mcep_dim: int = 80  # sedit_mcd.py uses dim 80 (aggregate_output)
+    mcep_dim: int = 80  # sedit_mcd.py calculate_mcd: --mcep_dim 80
     fftl: int = 1024
     shiftms: float = 5.0
+    f0min: float = 80.0   # sedit_mcd.py: --f0min 80 --f0max 7600
+    f0max: float = 7600.0
     power_threshold_db: float = -20.0
     lowcut_hz: float = 70.0
-    cepstral_smoothing: int = 40  # quefrency cutoff for envelope smoothing
+    q1: float = -0.15  # CheapTrick compensation-lifter coefficient
+    alpha: float | None = 0.41  # mcd_calculate.py default --mcep_alpha 0.41
 
 
 def mcep_alpha(fs: int) -> float:
@@ -45,7 +56,6 @@ def mcep_alpha(fs: int) -> float:
              44100: 0.544, 48000: 0.554}
     if fs in table:
         return table[fs]
-    # linear-ish fallback
     return float(np.clip(0.41 + (fs - 16000) / 8000 * 0.056, 0.3, 0.6))
 
 
@@ -60,96 +70,237 @@ def low_cut_filter(x: np.ndarray, fs: int, cutoff: float = 70.0) -> np.ndarray:
     return lfilter(fil, 1, x)
 
 
-def _frames(x: np.ndarray, fs: int, fftl: int, shiftms: float) -> np.ndarray:
-    hop = int(fs * shiftms / 1000.0)
-    win = np.hanning(fftl)
-    n_frames = max(1, (len(x) - fftl) // hop + 1)
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(fftl)[None, :]
-    idx = np.minimum(idx, len(x) - 1)
-    return x[idx] * win
+# ---------------------------------------------------------------------------
+# F0 (fills WORLD-harvest's role in the pipeline)
+# ---------------------------------------------------------------------------
 
+def estimate_f0(
+    x: np.ndarray, fs: int, shiftms: float,
+    f0min: float = 80.0, f0max: float = 7600.0,
+    voicing_threshold: float = 0.45,
+) -> np.ndarray:
+    """Frame-level F0 via normalized autocorrelation; 0 = unvoiced.
 
-def spectral_envelope(x: np.ndarray, fs: int, config: MCDConfig) -> np.ndarray:
-    """Cepstrally-smoothed power-spectral envelope, (T, fftl//2+1)."""
-    frames = _frames(x, fs, config.fftl, config.shiftms)
-    spec = np.abs(np.fft.rfft(frames, config.fftl)) ** 2 + 1e-12
-    logspec = np.log(spec)
-    # cepstral smoothing: keep low quefrencies only
-    cep = np.fft.irfft(logspec, config.fftl, axis=1)
-    lifter = np.zeros(config.fftl)
-    lifter[: config.cepstral_smoothing] = 1.0
-    lifter[-config.cepstral_smoothing + 1:] = 1.0
-    smooth = np.fft.rfft(cep * lifter, config.fftl, axis=1).real
-    return np.exp(smooth)
-
-
-def sp2mc(envelope: np.ndarray, order: int, alpha: float,
-          fftl: int) -> np.ndarray:
-    """Mel-cepstrum from a spectral envelope (pysptk.sp2mc equivalent).
-
-    Resamples the log envelope on the all-pass-warped frequency grid
-    ``w' = w + 2 atan(a sin w / (1 - a cos w))`` and takes the first
-    ``order + 1`` cepstral coefficients of the warped log spectrum.
+    Windows of ~2.5 max periods at the analysis hop, lag search over
+    [fs/f0max, fs/f0min], parabolic peak refinement, 3-tap median smoothing.
     """
-    n_freq = envelope.shape[1]
-    omega = np.linspace(0, np.pi, n_freq)
-    # inverse warp: for each warped bin, the source (linear) frequency
-    warped = omega + 2.0 * np.arctan2(
-        alpha * np.sin(omega), 1.0 - alpha * np.cos(omega))
-    # we need log S at frequencies whose *warped* position is uniform:
-    # invert numerically by interpolation of the monotone mapping
-    src = np.interp(omega, warped, omega)
-    logsp = 0.5 * np.log(envelope)  # amplitude log
-    warped_log = np.stack(
-        [np.interp(src, omega, row) for row in logsp], axis=0)
-    full = np.concatenate([warped_log, warped_log[:, -2:0:-1]], axis=1)
-    cep = np.fft.ifft(full, axis=1).real
-    mc = cep[:, : order + 1].copy()
-    mc[:, 1:] *= 2.0  # one-sided cepstrum convention (c_k + c_{-k})
-    return mc
+    hop = max(1, int(fs * shiftms / 1000.0))
+    lag_min = max(2, int(fs / min(f0max, fs / 4.0)))
+    lag_max = min(int(np.ceil(fs / max(f0min, 1.0))), len(x) - 1)
+    if lag_max <= lag_min:
+        n_frames = max(1, (len(x) - 1) // hop + 1)
+        return np.zeros(n_frames)
+    win = int(2.5 * lag_max)
+    n_frames = max(1, (len(x) - 1) // hop + 1)
+
+    f0 = np.zeros(n_frames)
+    pad = np.concatenate([x, np.zeros(win + lag_max + 1)])
+    for t in range(n_frames):
+        seg = pad[t * hop: t * hop + win]
+        seg = seg - seg.mean()
+        e0 = float(seg @ seg)
+        if e0 < 1e-10:
+            continue
+        # normalized autocorrelation over the lag range (FFT-based)
+        n_fft = 1 << int(np.ceil(np.log2(win + lag_max + 1)))
+        sp = np.fft.rfft(seg, n_fft)
+        ac = np.fft.irfft(sp * np.conj(sp))[: lag_max + 1]
+        # normalize by the energies of the two shifted segments
+        cum = np.concatenate([[0.0], np.cumsum(seg * seg)])
+        e_lead = cum[win] - cum[: lag_max + 1]  # energy of seg[lag:]
+        norm = np.sqrt(e0 * np.maximum(e_lead, 1e-12))
+        r = ac[: lag_max + 1] / np.maximum(norm, 1e-12)
+        band = r[lag_min: lag_max + 1]
+        k = int(np.argmax(band)) + lag_min
+        if r[k] < voicing_threshold:
+            continue
+        # parabolic refinement around the peak
+        if 1 <= k < lag_max:
+            y0, y1, y2 = r[k - 1], r[k], r[k + 1]
+            denom = y0 - 2 * y1 + y2
+            shift = 0.5 * (y0 - y2) / denom if abs(denom) > 1e-12 else 0.0
+            k = k + float(np.clip(shift, -1, 1))
+        f0[t] = fs / k
+    # median smoothing to kill octave glitches
+    if n_frames >= 3:
+        sm = f0.copy()
+        sm[1:-1] = np.median(
+            np.stack([f0[:-2], f0[1:-1], f0[2:]]), axis=0)
+        f0 = sm
+    f0[(f0 < f0min) | (f0 > f0max)] = 0.0
+    return f0
 
 
-def frame_power_db(envelope: np.ndarray) -> np.ndarray:
-    """Normalized per-frame power in dB (the reference's spc2npow)."""
-    power = envelope.sum(axis=1)
-    mean_p = power.mean() + 1e-12
-    return 10.0 * np.log10(power / mean_p + 1e-12)
+# ---------------------------------------------------------------------------
+# CheapTrick spectral envelope (Morise 2015)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_F0 = 500.0  # WORLD's kDefaultF0 for unvoiced/low frames
+
+
+def _cheaptrick_frame(x: np.ndarray, fs: int, f0: float, center: int,
+                      fftl: int, q1: float, rng: np.random.Generator
+                      ) -> np.ndarray:
+    """Power-spectral envelope of one frame, |H(w)|^2, (fftl//2+1,)."""
+    half = int(round(1.5 * fs / f0))
+    idx = np.arange(-half, half + 1)
+    pos = np.clip(center + idx, 0, len(x) - 1)
+    seg = x[pos]
+    # pitch-synchronous Hanning over 3 periods
+    window = 0.5 * np.cos(np.pi * idx * f0 / (1.5 * fs)) + 0.5
+    wsum = window.sum()
+    seg = seg * window - window * (seg * window).sum() / wsum
+    if len(seg) > fftl:
+        seg = seg[: fftl]
+    power = np.abs(np.fft.rfft(seg, fftl)) ** 2
+
+    freq = np.arange(fftl // 2 + 1) * fs / fftl
+    # DC correction: mirror the band just above F0 into the sub-F0 bins
+    low = freq < f0
+    if low.any():
+        mirror_f = 2.0 * f0 - freq[low]
+        power[low] += np.interp(mirror_f, freq, power)
+
+    # linear smoothing with a rectangular window of width 2*f0/3
+    width = 2.0 * f0 / 3.0
+    cum = np.concatenate([[0.0], np.cumsum(power)])
+    df = fs / fftl
+    lo = np.clip((freq - width / 2) / df, 0, fftl // 2).astype(int)
+    hi = np.clip((freq + width / 2) / df + 1, 1, fftl // 2 + 1).astype(int)
+    smoothed = (cum[hi] - cum[lo]) / np.maximum(hi - lo, 1)
+
+    smoothed = smoothed + np.abs(rng.standard_normal(len(smoothed))) * 1e-12
+
+    # cepstral liftering: sinc smoothing lifter + q1 compensation lifter
+    logp = np.log(np.maximum(smoothed, 1e-300))
+    cep = np.fft.irfft(logp, fftl)
+    quef = np.arange(fftl) / fs
+    quef = np.minimum(quef, (fftl - np.arange(fftl)) / fs)  # symmetric axis
+    arg = np.pi * f0 * quef
+    smoothing_lifter = np.where(arg < 1e-12, 1.0, np.sin(arg) / np.maximum(
+        arg, 1e-12))
+    compensation_lifter = (1.0 - 2.0 * q1) + 2.0 * q1 * np.cos(
+        2 * np.pi * f0 * quef)
+    cep = cep * smoothing_lifter * compensation_lifter
+    return np.exp(np.fft.rfft(cep, fftl).real[: fftl // 2 + 1])
+
+
+def cheaptrick_envelope(
+    x: np.ndarray, fs: int, f0: np.ndarray, shiftms: float, fftl: int,
+    q1: float = -0.15,
+) -> np.ndarray:
+    """F0-adaptive spectral envelope |H(w)|^2, (T, fftl//2+1)."""
+    hop = max(1, int(fs * shiftms / 1000.0))
+    f0_floor = 3.0 * fs / fftl  # CheapTrick's lowest analyzable F0
+    rng = np.random.default_rng(0)  # deterministic infinitesimal noise
+    frames = []
+    for t, f in enumerate(f0):
+        fr = f if f >= f0_floor else _DEFAULT_F0
+        frames.append(
+            _cheaptrick_frame(x, fs, fr, t * hop, fftl, q1, rng))
+    return np.stack(frames, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# pysptk-semantics sp2mc (freqt realized as a cached linear map)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def freqt_matrix(n_in: int, order: int, alpha: float) -> np.ndarray:
+    """(n_in, order+1) matrix A with freqt(c) == c @ A.
+
+    Runs the SPTK freqt recursion on the identity basis; cached per
+    (n_in, order, alpha).
+    """
+    wc = np.zeros((order + 1, n_in))
+    for i in range(n_in - 1, -1, -1):
+        prev = wc.copy()
+        wc[0] = alpha * prev[0]
+        wc[0, i] += 1.0
+        if order > 0:
+            wc[1] = (1 - alpha * alpha) * prev[0] + alpha * prev[1]
+        for m in range(2, order + 1):
+            wc[m] = prev[m - 1] + alpha * (prev[m] - wc[m - 1])
+    return wc.T.copy()
+
+
+def freqt(c: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """SPTK frequency transform (all-pass warping) of cepstra.
+
+    ``c``: (..., M+1) linear-frequency cepstrum -> (..., order+1) warped.
+    """
+    a = freqt_matrix(c.shape[-1], order, float(alpha))
+    return c @ a
+
+
+def sp2mc(powerspec: np.ndarray, order: int, alpha: float) -> np.ndarray:
+    """pysptk.sp2mc: power spectrum (T, fftl//2+1) -> mel-cepstrum
+    (T, order+1).
+
+    Real cepstrum of the log power periodogram, c0 halved (power ->
+    amplitude convention), then freqt warping.
+    """
+    logsp = np.log(np.maximum(powerspec, 1e-300))
+    c = np.fft.irfft(logsp, axis=-1)  # length 2*(n_freq-1)
+    c[..., 0] /= 2.0
+    return freqt(c[..., : powerspec.shape[-1]], order, alpha)
+
+
+def spc2npow(spectrogram: np.ndarray) -> np.ndarray:
+    """Normalized frame power in dB from the power envelope
+    (utils/mcd_calculate.py:68-117), vectorized."""
+    fftl2 = spectrogram.shape[-1] - 1
+    power = (spectrogram[..., 0] + spectrogram[..., -1]
+             + 2.0 * spectrogram[..., 1:-1].sum(-1)) / (2 * fftl2)
+    mean_p = power.mean()
+    return 10.0 * np.log10(np.maximum(power / mean_p, 1e-300))
 
 
 def mcep_from_wav(
     wav: np.ndarray, fs: int, config: MCDConfig = MCDConfig()
 ) -> tuple[np.ndarray, np.ndarray]:
-    """wav -> (mcep (T, dim+1), frame power dB (T,))."""
+    """wav -> (mcep (T, dim+1), normalized frame power dB (T,)) — the
+    world_extract analogue (utils/mcd_calculate.py:152-172)."""
     x = low_cut_filter(np.asarray(wav, np.float64), fs, config.lowcut_hz)
-    env = spectral_envelope(x, fs, config)
-    mc = sp2mc(env, config.mcep_dim, mcep_alpha(fs), config.fftl)
-    return mc, frame_power_db(env)
+    f0 = estimate_f0(x, fs, config.shiftms, config.f0min, config.f0max)
+    env = cheaptrick_envelope(x, fs, f0, config.shiftms, config.fftl,
+                              config.q1)
+    alpha = config.alpha if config.alpha is not None else mcep_alpha(fs)
+    mc = sp2mc(env, config.mcep_dim, alpha)
+    return mc, spc2npow(env)
 
+
+# ---------------------------------------------------------------------------
+# exact DTW, vectorized over anti-diagonals
+# ---------------------------------------------------------------------------
 
 def dtw_path(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Exact DTW (euclidean local cost); returns aligned index arrays."""
     tx, ty = len(x), len(y)
-    # pairwise distances
     d = np.sqrt(
-        ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+        np.maximum(
+            (x * x).sum(1)[:, None] + (y * y).sum(1)[None, :]
+            - 2.0 * (x @ y.T), 0.0))
     acc = np.full((tx + 1, ty + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, tx + 1):
-        row_min = np.minimum(acc[i - 1, 1:], acc[i - 1, :-1])
-        # acc[i, j] = d + min(acc[i-1,j], acc[i-1,j-1], acc[i,j-1]);
-        # the horizontal dependency forces a scan
-        prev = acc[i]
-        prev[0] = np.inf
-        best = row_min
-        for j in range(1, ty + 1):
-            m = min(best[j - 1], prev[j - 1])
-            prev[j] = d[i - 1, j - 1] + m
+    # process anti-diagonals: every cell on i+j = s depends only on s-1, s-2
+    for s in range(2, tx + ty + 1):
+        i_lo = max(1, s - ty)
+        i_hi = min(tx, s - 1)
+        if i_lo > i_hi:
+            continue
+        i = np.arange(i_lo, i_hi + 1)
+        j = s - i
+        up = acc[i - 1, j]
+        left = acc[i, j - 1]
+        diag = acc[i - 1, j - 1]
+        acc[i, j] = d[i - 1, j - 1] + np.minimum(np.minimum(up, left), diag)
     # backtrack
     path = []
     i, j = tx, ty
     while i > 0 and j > 0:
         path.append((i - 1, j - 1))
-        steps = [(i - 1, j), (i - 1, j - 1), (i, j - 1)]
+        steps = ((i - 1, j), (i - 1, j - 1), (i, j - 1))
         costs = [acc[a, b] for a, b in steps]
         i, j = steps[int(np.argmin(costs))]
     path.reverse()

@@ -114,7 +114,7 @@ def main():
 
     result = evaluate_masked_reconstruction(
         editor, aligner, ds, ds.uids[:8],
-        MCDConfig(mcep_dim=24, fftl=512, cepstral_smoothing=30), texts)
+        MCDConfig(mcep_dim=24, fftl=512, f0min=70, f0max=700), texts)
     print(f"mean MCD over {result['n']} utts: {result['mean_mcd']:.3f} dB")
 
 
