@@ -35,6 +35,14 @@ class A3TTaskConfig:
     speech_only: bool = False
     num_workers_prefetch: int = 2
     use_tensorboard: bool = False
+    # Weights & Biases sink (abs_task.py:1243-1278); requires the wandb
+    # package — silently skipped when unavailable
+    use_wandb: bool = False
+    wandb_project: str = "a3t_tpu"
+    # dump N reconstructed-vs-target mel plots per epoch during validation
+    # (the reference's num_att_plot analogue, trainer.py:764+; the shipped
+    # config disables it via num_att_plot: 0)
+    num_plot_examples: int = 0
     # multi-corpus pretraining: list of dicts with keys
     # {name, data_dir, portion, speech_only?, frontend?{...}} — the
     # libritts/librispeech/vctk .6/.2/.2 mixture (tasks/mlm.py:499-591).

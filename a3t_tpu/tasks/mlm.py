@@ -33,6 +33,7 @@ from a3t_tpu.train import (
     make_train_step,
 )
 from a3t_tpu.train.checkpoint import CheckpointManager
+from a3t_tpu.train.plots import make_mel_plot_fn
 from a3t_tpu.train.train_step import featurize
 
 logger = logging.getLogger("a3t_tpu")
@@ -185,6 +186,18 @@ class MLMTask:
             except Exception:  # tensorboard is optional
                 logger.warning("tensorboard unavailable; skipping")
 
+        wandb_run = None
+        if cfg.use_wandb:
+            try:
+                import wandb
+
+                wandb_run = wandb.init(
+                    project=cfg.wandb_project,
+                    name=os.path.basename(os.path.abspath(cfg.exp_dir)),
+                    dir=cfg.exp_dir)
+            except Exception:  # wandb is optional
+                logger.warning("wandb unavailable; skipping")
+
         normalizer = cls.build_normalizer(cfg)
 
         if multi is not None:
@@ -210,6 +223,14 @@ class MLMTask:
                     f"bucket_frames {bad} not multiples of half-window {c} "
                     "(required by longformer attention)")
 
+        plot_fn = None
+        if cfg.num_plot_examples > 0 and valid_batcher is not None:
+            plot_fn = make_mel_plot_fn(
+                model, fe, normalizer,
+                next(iter(valid_factory(0))),
+                os.path.join(cfg.exp_dir, "plots"),
+                n_examples=cfg.num_plot_examples)
+
         trainer = Trainer(
             cfg.trainer,
             train_step,
@@ -223,6 +244,8 @@ class MLMTask:
                 criterion=cfg.trainer.best_model_criterion,
             ),
             tensorboard_writer=tb_writer,
+            wandb_run=wandb_run,
+            plot_fn=plot_fn,
         )
         return trainer.run(state)
 

@@ -1,0 +1,60 @@
+"""Validation-time mel plots (the reference's attention/att_ws plot slot,
+trainer.py:764+ — disabled in the shipped config via num_att_plot: 0, but
+the hook exists; here the more useful artifact for a mel-reconstruction
+model is target vs predicted mel with the masked span marked)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_mel_plot_fn(model, frontend, normalizer, host_batch, out_dir: str,
+                     n_examples: int = 3):
+    """Build plot_fn(state, epoch): dump reconstructed-vs-target mels for
+    the first ``n_examples`` utterances of a fixed validation batch."""
+    from a3t_tpu.train.train_step import featurize
+
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+
+    @jax.jit
+    def forward(params, batch_stats):
+        mb = featurize(frontend, batch, use_fused=False,
+                       normalizer=normalizer)
+        before, after, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, **mb,
+            train=False)
+        return mb["speech"], (after if after is not None else before), \
+            mb["masked_position"], mb["speech_mask"]
+
+    def plot_fn(state, epoch: int):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        target, pred, masked, valid = (
+            np.asarray(x) for x in forward(state.params, state.batch_stats))
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(min(n_examples, target.shape[0])):
+            n_f = int(valid[i].sum())
+            fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+            for ax, mel, title in zip(
+                    axes, (target[i, :n_f], pred[i, :n_f]),
+                    ("target", "reconstruction")):
+                ax.imshow(mel.T, origin="lower", aspect="auto",
+                          interpolation="none")
+                ax.set_ylabel(title)
+            # mark the masked span(s) on both panels
+            for t in np.nonzero(masked[i, :n_f])[0]:
+                for ax in axes:
+                    ax.axvline(t, color="w", alpha=0.04)
+            fig.suptitle(f"epoch {epoch} utt {i}")
+            fig.savefig(os.path.join(out_dir, f"epoch{epoch}_utt{i}.png"),
+                        dpi=80)
+            plt.close(fig)
+
+    return plot_fn

@@ -69,13 +69,21 @@ class Reporter:
             self._current[name] = SubReporter()
         return self._current[name]
 
-    def finish_epoch(self, tensorboard_writer=None):
+    def finish_epoch(self, tensorboard_writer=None, wandb_run=None):
         summary = {p: sr.summary() for p, sr in self._current.items()}
         self.history[self.epoch] = summary
         if tensorboard_writer is not None:
             for phase, stats in summary.items():
                 for k, v in stats.items():
                     tensorboard_writer.add_scalar(f"{phase}/{k}", v, self.epoch)
+        if wandb_run is not None:
+            # Weights & Biases sink (abs_task.py:1243-1278, trainer.py:409-425)
+            flat = {
+                f"{phase}/{k}": v
+                for phase, stats in summary.items()
+                for k, v in stats.items()
+            }
+            wandb_run.log(flat, step=self.epoch)
         return summary
 
     def log_message(self) -> str:

@@ -74,6 +74,8 @@ class Trainer:
         valid_iter_factory: Optional[Callable[[int], Iterable]] = None,
         checkpoint_manager: Optional[CheckpointManager] = None,
         tensorboard_writer=None,
+        wandb_run=None,
+        plot_fn: Optional[Callable] = None,
     ):
         self.config = config
         self.train_step = train_step
@@ -83,6 +85,11 @@ class Trainer:
         self.ckpt = checkpoint_manager
         self.reporter = Reporter()
         self.tb = tensorboard_writer
+        self.wandb = wandb_run
+        # optional per-epoch artifact dump (mel/attention plots — the
+        # reference's num_att_plot path, trainer.py:764+); called as
+        # plot_fn(state, epoch) after validation
+        self.plot_fn = plot_fn
 
     def run(self, state):
         cfg = self.config
@@ -112,7 +119,12 @@ class Trainer:
             jax.block_until_ready(state.params)
             if self.valid_iter_factory is not None and self.eval_step is not None:
                 self.validate_one_epoch(state, epoch)
-            self.reporter.finish_epoch(self.tb)
+            if self.plot_fn is not None:
+                try:
+                    self.plot_fn(state, epoch)
+                except Exception:  # plots must never kill training
+                    logger.exception("plot_fn failed at epoch %d", epoch)
+            self.reporter.finish_epoch(self.tb, self.wandb)
             logger.info(self.reporter.log_message())
 
             if self.ckpt is not None:

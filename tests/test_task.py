@@ -150,3 +150,23 @@ def test_cli_train_multi_corpus(tmp_path):
 
     main(["--config", conf_path, "--log-level", "WARNING"])
     assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
+
+
+def test_cli_train_with_plots_and_wandb_flag(tmp_path):
+    """num_plot_examples dumps validation mel plots; use_wandb degrades
+    gracefully when the package is missing."""
+    corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=6, fs=8000)
+    exp = str(tmp_path / "exp_plots")
+    d = mini_config_dict(corpus, exp)
+    d["trainer"]["max_epoch"] = 1
+    d["num_plot_examples"] = 1
+    d["use_wandb"] = True  # wandb not installed -> warning, not a crash
+    conf_path = str(tmp_path / "p.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(d, f)
+
+    from a3t_tpu.bin.train import main
+
+    main(["--config", conf_path, "--log-level", "WARNING"])
+    plots = os.listdir(os.path.join(exp, "plots"))
+    assert any(p.endswith(".png") for p in plots)
