@@ -55,6 +55,12 @@ class EncoderConfig:
     # text tokens, the long-audio path — transformer/encoder.py:522-563)
     selfattention_layer_type: str = "legacy_rel_selfattn"
     attention_window: int = 0  # full window size for "longformer"
+    # fused Pallas banded-attention kernel for the longformer speech band
+    # (ops/banded_attention.py; exact softmax, so only engaged when
+    # attention dropout is inactive).  Default on: measured 1.7-1.9x
+    # faster fwd+bwd than the chunked-einsum path at T=8192 on v5e
+    # (docs/KERNEL_BENCH.json)
+    use_pallas_attention: bool = True
     # speech-only pre-encoder layers before the text concat
     # (transformer/encoder.py:538-563, pre_speech_layer)
     pre_speech_layers: int = 0
@@ -166,7 +172,8 @@ class ConformerBlock(nn.Module):
                 else mask
             h = WindowedSelfAttention(
                 c.attention_heads, c.attention_window,
-                c.attention_dropout_rate, dtype=c.dtype, name="self_attn",
+                c.attention_dropout_rate, dtype=c.dtype,
+                use_pallas=c.use_pallas_attention, name="self_attn",
             )(h, n_frames if n_frames is not None else h.shape[1],
               flat_mask, deterministic=det)
         elif c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):

@@ -64,6 +64,11 @@ class WindowedSelfAttention(nn.Module):
     window: int  # full window; half-window c = window // 2
     dropout_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    # route the speech-query band through the fused Pallas kernel
+    # (ops/banded_attention.py).  Falls back to the chunked-einsum path
+    # whenever attention-prob dropout is active (the kernel is exact
+    # softmax; dropout lives only in the XLA formulation).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, n_frames: int, mask=None,
@@ -99,35 +104,49 @@ class WindowedSelfAttention(nn.Module):
 
         neg = jnp.finfo(jnp.float32).min
 
-        # ---- speech queries: banded over speech + full over text --------
-        qc = q_sp.reshape(b, nc, c, self.n_head, d_k)
-        kb = _chunk_bands(k_sp, nc, c)
-        vb = _chunk_bands(v_sp, nc, c)
-        band_scores = jnp.einsum(
-            "bnchd,bnkhd->bnhck", qc, kb,
-            preferred_element_type=jnp.float32) * scale  # (B,nc,H,c,3c)
+        dropout_active = self.dropout_rate > 0 and not deterministic
+        if self.use_pallas and not dropout_active:
+            # ---- speech queries via the fused Pallas kernel --------------
+            from a3t_tpu.ops.banded_attention import banded_attention
 
-        band_ok = jnp.asarray(_band_valid(nc, c))[None, :, None, None, :]
-        key_ok = _chunk_bands(
-            sp_mask[..., None, None].astype(jnp.float32), nc, c
-        )[..., 0, 0] > 0  # (B, nc, 3c)
-        band_mask = band_ok & key_ok[:, :, None, None, :]
-        band_scores = jnp.where(band_mask, band_scores, neg)
+            out_sp = banded_attention(
+                q_sp.transpose(0, 2, 1, 3), k_sp.transpose(0, 2, 1, 3),
+                v_sp.transpose(0, 2, 1, 3), k_tx.transpose(0, 2, 1, 3),
+                v_tx.transpose(0, 2, 1, 3), tx_mask, self.window,
+                speech_mask=sp_mask,
+            ).transpose(0, 2, 1, 3)  # back to (B, T, H, d)
+        else:
+            # ---- speech queries: banded over speech + full over text -----
+            qc = q_sp.reshape(b, nc, c, self.n_head, d_k)
+            kb = _chunk_bands(k_sp, nc, c)
+            vb = _chunk_bands(v_sp, nc, c)
+            band_scores = jnp.einsum(
+                "bnchd,bnkhd->bnhck", qc, kb,
+                preferred_element_type=jnp.float32) * scale  # (B,nc,H,c,3c)
 
-        text_scores = jnp.einsum(
-            "bnchd,bshd->bnhcs", qc, k_tx,
-            preferred_element_type=jnp.float32) * scale  # (B,nc,H,c,Tt)
-        text_scores = jnp.where(
-            tx_mask[:, None, None, None, :], text_scores, neg)
+            band_ok = jnp.asarray(_band_valid(nc, c))[None, :, None, None, :]
+            key_ok = _chunk_bands(
+                sp_mask[..., None, None].astype(jnp.float32), nc, c
+            )[..., 0, 0] > 0  # (B, nc, 3c)
+            band_mask = band_ok & key_ok[:, :, None, None, :]
+            band_scores = jnp.where(band_mask, band_scores, neg)
 
-        all_scores = jnp.concatenate([band_scores, text_scores], axis=-1)
-        attn = nn.softmax(all_scores, axis=-1)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
-        a_band, a_text = attn[..., : 3 * c], attn[..., 3 * c:]
-        out_sp = jnp.einsum("bnhck,bnkhd->bnchd", a_band.astype(v.dtype), vb)
-        out_sp = out_sp + jnp.einsum(
-            "bnhcs,bshd->bnchd", a_text.astype(v.dtype), v_tx)
-        out_sp = out_sp.reshape(b, n_frames, self.n_head, d_k)
+            text_scores = jnp.einsum(
+                "bnchd,bshd->bnhcs", qc, k_tx,
+                preferred_element_type=jnp.float32) * scale  # (B,nc,H,c,Tt)
+            text_scores = jnp.where(
+                tx_mask[:, None, None, None, :], text_scores, neg)
+
+            all_scores = jnp.concatenate([band_scores, text_scores], axis=-1)
+            attn = nn.softmax(all_scores, axis=-1)
+            attn = nn.Dropout(self.dropout_rate)(
+                attn, deterministic=deterministic)
+            a_band, a_text = attn[..., : 3 * c], attn[..., 3 * c:]
+            out_sp = jnp.einsum(
+                "bnhck,bnkhd->bnchd", a_band.astype(v.dtype), vb)
+            out_sp = out_sp + jnp.einsum(
+                "bnhcs,bshd->bnchd", a_text.astype(v.dtype), v_tx)
+            out_sp = out_sp.reshape(b, n_frames, self.n_head, d_k)
 
         # ---- text queries: full attention over everything ---------------
         full_scores = jnp.einsum(

@@ -38,10 +38,11 @@ def _chunk_spec(c, d, nc, offset):
 
 
 def _row_spec(c, nc, offset):
-    """(B, H, nc, c) per-row statistics (lse / delta)."""
+    """(B, H, nc, 1, c) per-row statistics (lse / delta); the singleton
+    axis keeps the trailing block dims TPU-tileable."""
     def index_map(bi, hi, ci):
-        return (bi, hi, jnp.clip(ci + offset, 0, nc - 1), 0)
-    return pl.BlockSpec((1, 1, 1, c), index_map, memory_space=pltpu.VMEM)
+        return (bi, hi, jnp.clip(ci + offset, 0, nc - 1), 0, 0)
+    return pl.BlockSpec((1, 1, 1, 1, c), index_map, memory_space=pltpu.VMEM)
 
 
 def _text_spec(tt, d):
@@ -54,25 +55,39 @@ def _txm_spec(tt):
                         memory_space=pltpu.VMEM)
 
 
-def _band_masks(band, text, tm, i, n_i, c):
-    """Mask the phantom prev/next blocks at the edges + invalid text."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, 3 * c), 1)
-    band = jnp.where((i == 0) & (col < c), _NEG, band)
-    band = jnp.where((i == n_i - 1) & (col >= 2 * c), _NEG, band)
+def _bandm_spec(c):
+    """(B, nc, 1, 3c) per-chunk banded key-validity, precomputed by the
+    wrapper (phantom edge chunks and padded keys are already zeroed —
+    Mosaic cannot concatenate 1-D mask vectors in-kernel)."""
+    return pl.BlockSpec((1, 1, 1, 3 * c),
+                        lambda bi, hi, ci: (bi, ci, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _spm_spec(c):
+    """(B, nc, 1, c) key-chunk validity (dkv pass)."""
+    return pl.BlockSpec((1, 1, 1, c),
+                        lambda bi, hi, ci: (bi, ci, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _band_masks(band, text, tm, kmask):
+    """Mask invalid band keys (phantom edges + padding, precomputed as a
+    (1, 3c) row) and invalid text keys."""
+    band = jnp.where(kmask > 0, band, _NEG)
     text = jnp.where(tm[0] > 0, text, _NEG)
     return band, text
 
 
-def _fwd_call(q, k, v, k_text, v_text, txm, window: int, interpret: bool):
+def _fwd_call(q, k, v, k_text, v_text, txm, bandm, window: int,
+              interpret: bool):
     b, h, t, d = q.shape
     c = window // 2
     nc = t // c
     tt = k_text.shape[2]
     scale = np.float32(1.0 / np.sqrt(d))
 
-    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, out, lse):
-        i = pl.program_id(2)
-        n_i = pl.num_programs(2)
+    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, bm, out, lse):
         qq = q_r[0, 0, 0]
         kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
         vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
@@ -83,7 +98,7 @@ def _fwd_call(q, k, v, k_text, v_text, txm, window: int, interpret: bool):
         text = jax.lax.dot_general(
             qq, kt[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (c, Tt)
-        band, text = _band_masks(band, text, tm, i, n_i, c)
+        band, text = _band_masks(band, text, tm, bm[0, 0])
 
         m = jnp.maximum(band.max(axis=1, keepdims=True),
                         text.max(axis=1, keepdims=True))
@@ -95,7 +110,7 @@ def _fwd_call(q, k, v, k_text, v_text, txm, window: int, interpret: bool):
             + jnp.dot(et, vt[0, 0], preferred_element_type=jnp.float32)
         ) / denom
         out[0, 0, 0] = res.astype(out.dtype)
-        lse[0, 0, 0] = (m + jnp.log(denom))[:, 0]
+        lse[0, 0, 0, 0] = (m + jnp.log(denom))[:, 0]
 
     cs = functools.partial(_chunk_spec, c, d, nc)
 
@@ -112,28 +127,29 @@ def _fwd_call(q, k, v, k_text, v_text, txm, window: int, interpret: bool):
             cs(-1), cs(0), cs(1),      # v band
             _text_spec(tt, d),         # v text
             _txm_spec(tt),
+            _bandm_spec(c),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 1, c, d),
                          lambda bi, hi, ci: (bi, hi, ci, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, c),
-                         lambda bi, hi, ci: (bi, hi, ci, 0),
+            pl.BlockSpec((1, 1, 1, 1, c),
+                         lambda bi, hi, ci: (bi, hi, ci, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, nc, c, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, nc, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nc, 1, c), jnp.float32),
         ],
         interpret=interpret,
     )(
         to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
-        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm,
+        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm, bandm,
     )
     return out.reshape(b, h, t, d), lse
 
 
-def _bwd_dq_call(q, k, v, k_text, v_text, txm, out_g, lse, delta,
+def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
                  window: int, interpret: bool):
     """Query-chunk pass: dq + the accumulated global text-side grads."""
     b, h, t, d = q.shape
@@ -142,16 +158,15 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, out_g, lse, delta,
     tt = k_text.shape[2]
     scale = np.float32(1.0 / np.sqrt(d))
 
-    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, do_r, lse_r, dl_r,
-               dq, dkt, dvt):
+    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, bm,
+               do_r, lse_r, dl_r, dq, dkt, dvt):
         i = pl.program_id(2)
-        n_i = pl.num_programs(2)
         qq = q_r[0, 0, 0]
         kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
         vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
         do = do_r[0, 0, 0].astype(jnp.float32)
-        l_i = lse_r[0, 0, 0][:, None]
-        d_i = dl_r[0, 0, 0][:, None]
+        l_i = lse_r[0, 0, 0, 0][:, None]
+        d_i = dl_r[0, 0, 0, 0][:, None]
 
         band = jax.lax.dot_general(
             qq, kb, (((1,), (1,)), ((), ())),
@@ -159,7 +174,7 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, out_g, lse, delta,
         text = jax.lax.dot_general(
             qq, kt[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        band, text = _band_masks(band, text, tm, i, n_i, c)
+        band, text = _band_masks(band, text, tm, bm[0, 0])
 
         pb = jnp.exp(band - l_i)  # (c, 3c); masked entries exp(-inf) = 0
         pt = jnp.exp(text - l_i)  # (c, Tt)
@@ -207,6 +222,7 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, out_g, lse, delta,
             cs(-1), cs(0), cs(1),
             _text_spec(tt, d),
             _txm_spec(tt),
+            _bandm_spec(c),
             cs(0),   # dout
             rs(0),   # lse
             rs(0),   # delta
@@ -226,25 +242,27 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, out_g, lse, delta,
         interpret=interpret,
     )(
         to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
-        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm,
+        to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm, bandm,
         to_chunks(out_g), lse, delta,
     )
     return dq.reshape(b, h, t, d), dkt, dvt
 
 
-def _bwd_dkv_call(q, k, v, out_g, lse, delta, window: int, interpret: bool):
+def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, window: int,
+                  interpret: bool):
     """Key-chunk pass: dk/dv from the three neighbouring query chunks."""
     b, h, t, d = q.shape
     c = window // 2
     nc = t // c
     scale = np.float32(1.0 / np.sqrt(d))
 
-    def kernel(k_r, v_r, qp, qc, qn, dop, doc, don, lp, lc, ln, dp_, dc_, dn_,
-               dk, dv):
+    def kernel(k_r, v_r, m_r, qp, qc, qn, dop, doc, don, lp, lc, ln,
+               dp_, dc_, dn_, dk, dv):
         j = pl.program_id(2)
         n_j = pl.num_programs(2)
         kk = k_r[0, 0, 0]
         vv = v_r[0, 0, 0]
+        kmask = m_r[0, 0, 0] > 0  # (1, c): this key chunk's validity
 
         dk_acc = jnp.zeros((c, d), jnp.float32)
         dv_acc = jnp.zeros((c, d), jnp.float32)
@@ -259,12 +277,13 @@ def _bwd_dkv_call(q, k, v, out_g, lse, delta, window: int, interpret: bool):
             w = jnp.where(valid, jnp.float32(1.0), jnp.float32(0.0))
             qq = q_r[0, 0, 0]
             do = do_r[0, 0, 0].astype(jnp.float32)
-            l_i = l_r[0, 0, 0][:, None]
-            d_i = dl_r[0, 0, 0][:, None]
+            l_i = l_r[0, 0, 0, 0][:, None]
+            d_i = dl_r[0, 0, 0, 0][:, None]
 
             s = jax.lax.dot_general(
                 qq, kk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # (c, c)
+            s = jnp.where(kmask, s, _NEG)  # forward masked padded keys
             p = jnp.exp(s - l_i)
             dp = jax.lax.dot_general(
                 do, vv, (((1,), (1,)), ((), ())),
@@ -290,6 +309,7 @@ def _bwd_dkv_call(q, k, v, out_g, lse, delta, window: int, interpret: bool):
         grid=(b, h, nc),
         in_specs=[
             cs(0), cs(0),                    # k_j, v_j
+            _spm_spec(c),                    # k_j's validity
             cs(-1), cs(0), cs(1),            # q neighbours
             cs(-1), cs(0), cs(1),            # dout neighbours
             rs(-1), rs(0), rs(1),            # lse neighbours
@@ -309,7 +329,7 @@ def _bwd_dkv_call(q, k, v, out_g, lse, delta, window: int, interpret: bool):
         ],
         interpret=interpret,
     )(
-        to_chunks(k), to_chunks(v),
+        to_chunks(k), to_chunks(v), spm,
         to_chunks(q), to_chunks(q), to_chunks(q),
         to_chunks(out_g), to_chunks(out_g), to_chunks(out_g),
         lse, lse, lse, delta, delta, delta,
@@ -317,31 +337,33 @@ def _bwd_dkv_call(q, k, v, out_g, lse, delta, window: int, interpret: bool):
     return dk.reshape(b, h, t, d), dv.reshape(b, h, t, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _banded_attention(q, k, v, k_text, v_text, txm, window, interpret):
-    out, _ = _fwd_call(q, k, v, k_text, v_text, txm, window, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _banded_attention(q, k, v, k_text, v_text, txm, bandm, spm, window,
+                      interpret):
+    out, _ = _fwd_call(q, k, v, k_text, v_text, txm, bandm, window, interpret)
     return out
 
 
-def _banded_fwd(q, k, v, k_text, v_text, txm, window, interpret):
-    out, lse = _fwd_call(q, k, v, k_text, v_text, txm, window, interpret)
-    return out, (q, k, v, k_text, v_text, txm, out, lse)
+def _banded_fwd(q, k, v, k_text, v_text, txm, bandm, spm, window, interpret):
+    out, lse = _fwd_call(q, k, v, k_text, v_text, txm, bandm, window,
+                         interpret)
+    return out, (q, k, v, k_text, v_text, txm, bandm, spm, out, lse)
 
 
 def _banded_bwd(window, interpret, residuals, g):
-    q, k, v, k_text, v_text, txm, out, lse = residuals
+    q, k, v, k_text, v_text, txm, bandm, spm, out, lse = residuals
     b, h, t, d = q.shape
     c = window // 2
     nc = t // c
     # delta = rowsum(dout * out) — the softmax-backward correction term
     delta = (g.astype(jnp.float32) * out.astype(jnp.float32)).sum(-1)
-    delta = delta.reshape(b, h, nc, c)
+    delta = delta.reshape(b, h, nc, 1, c)
 
-    dq, dkt, dvt = _bwd_dq_call(q, k, v, k_text, v_text, txm, g, lse, delta,
-                                window, interpret)
-    dk, dv = _bwd_dkv_call(q, k, v, g, lse, delta, window, interpret)
+    dq, dkt, dvt = _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, g, lse,
+                                delta, window, interpret)
+    dk, dv = _bwd_dkv_call(q, k, v, spm, g, lse, delta, window, interpret)
     return (dq, dk, dv, dkt.astype(k_text.dtype), dvt.astype(v_text.dtype),
-            None)
+            None, None, None)
 
 
 _banded_attention.defvjp(_banded_fwd, _banded_bwd)
@@ -355,6 +377,7 @@ def banded_attention(
     v_text: jnp.ndarray,
     text_mask: jnp.ndarray,
     window: int,
+    speech_mask: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused banded attention for the speech queries (differentiable).
@@ -364,6 +387,7 @@ def banded_attention(
         k_text, v_text: (B, H, Tt, d) global text keys/values
         text_mask:      (B, Tt) validity of text tokens
         window:         full window size (band = +/- window//2)
+        speech_mask:    optional (B, T) validity of speech keys (padding)
     Returns:
         (B, H, T, d) attention outputs for the speech queries.
     """
@@ -373,7 +397,25 @@ def banded_attention(
     c = window // 2
     if t % c != 0:
         raise ValueError(f"T={t} not a multiple of half-window {c}")
+    nc = t // c
+    if k_text.shape[2] == 0:
+        # speech-only batches: keep the kernel's text block non-empty but
+        # fully masked (its probabilities come out exactly 0)
+        k_text = jnp.zeros((b, h, 128, d), k_text.dtype)
+        v_text = jnp.zeros((b, h, 128, d), v_text.dtype)
+        text_mask = jnp.zeros((b, 128), bool)
     tt = k_text.shape[2]
     txm = jnp.broadcast_to(
         text_mask[:, None, :].astype(jnp.int32), (b, 1, tt))
-    return _banded_attention(q, k, v, k_text, v_text, txm, window, interpret)
+    if speech_mask is None:
+        m = jnp.ones((b, nc, c), jnp.int32)
+    else:
+        m = speech_mask.astype(jnp.int32).reshape(b, nc, c)
+    # banded key validity per query chunk, phantom edge chunks zeroed
+    zero = jnp.zeros_like(m[:, :1])
+    prev = jnp.concatenate([zero, m[:, :-1]], axis=1)
+    nxt = jnp.concatenate([m[:, 1:], zero], axis=1)
+    bandm = jnp.concatenate([prev, m, nxt], axis=2)[:, :, None, :]
+    spm = m[:, :, None, :]
+    return _banded_attention(q, k, v, k_text, v_text, txm, bandm, spm,
+                             window, interpret)

@@ -57,13 +57,16 @@ def test_banded_attention_kernel_matches_reference(rng):
     vt = rng.standard_normal((b, h, tt, d)).astype(np.float32)
     tmask = np.ones((b, tt), bool)
     tmask[1, 5:] = False
+    smask = np.ones((b, t), bool)
+    smask[0, t - 5:] = False  # padded tail frames
 
     out = np.asarray(banded_attention(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kt),
-        jnp.asarray(vt), jnp.asarray(tmask), window, interpret=True))
+        jnp.asarray(vt), jnp.asarray(tmask), window,
+        speech_mask=jnp.asarray(smask), interpret=True))
 
     # dense reference: query i attends keys in chunks {ci-1, ci, ci+1} plus
-    # valid text keys
+    # valid text keys; padded speech keys masked
     allk = np.concatenate([k, kt], axis=2)
     allv = np.concatenate([v, vt], axis=2)
     scores = np.einsum("bhtd,bhsd->bhts", q, allk) / np.sqrt(d)
@@ -71,7 +74,7 @@ def test_banded_attention_kernel_matches_reference(rng):
     ki = np.arange(t)[None, :] // c
     band_ok = np.abs(qi - ki) <= 1  # (t, t)
     key_ok = np.concatenate(
-        [np.broadcast_to(band_ok, (b, t, t)),
+        [np.broadcast_to(band_ok, (b, t, t)) & smask[:, None, :],
          np.broadcast_to(tmask[:, None, :], (b, t, tt))], axis=2)
     scores = np.where(key_ok[:, None], scores, -1e30)
     e = np.exp(scores - scores.max(-1, keepdims=True))
@@ -97,12 +100,15 @@ def test_banded_attention_gradients_match_dense(rng):
     vt = rng.standard_normal((b, h, tt, d)).astype(np.float32)
     tmask = np.ones((b, tt), bool)
     tmask[1, 5:] = False
-    # a fixed cotangent-inducing loss: weighted sum of outputs
-    w = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    smask = np.ones((b, t), bool)
+    smask[0, t - 5:] = False
+    # a fixed cotangent-inducing loss: weighted sum of (valid) outputs
+    w = (rng.standard_normal((b, h, t, d)).astype(np.float32)
+         * smask[:, None, :, None])
 
     def kernel_loss(q, k, v, kt, vt):
         out = banded_attention(q, k, v, kt, vt, jnp.asarray(tmask), window,
-                               interpret=True)
+                               speech_mask=jnp.asarray(smask), interpret=True)
         return (out * w).sum()
 
     def dense_loss(q, k, v, kt, vt):
@@ -113,7 +119,7 @@ def test_banded_attention_gradients_match_dense(rng):
         ki = np.arange(t)[None, :] // c
         band_ok = np.abs(qi - ki) <= 1
         key_ok = np.concatenate(
-            [np.broadcast_to(band_ok, (b, t, t)),
+            [np.broadcast_to(band_ok, (b, t, t)) & smask[:, None, :],
              np.broadcast_to(tmask[:, None, :], (b, t, tt))], axis=2)
         scores = jnp.where(key_ok[:, None], scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1)

@@ -84,3 +84,42 @@ def test_longformer_model_variant(rng):
     assert before.shape == (b, f, 8)
     assert np.isfinite(np.asarray(before)).all()
     assert "pre_speech_encoders" in variables["params"]
+
+
+def test_pallas_path_matches_chunked(rng):
+    """use_pallas routes the speech band through the fused kernel with
+    identical results (forward + gradients) to the chunked-einsum path."""
+    import jax
+
+    b, n_frames, n_text, d_model, h, window = 2, 32, 6, 32, 2, 8
+    x = rng.standard_normal((b, n_frames + n_text, d_model)).astype(np.float32)
+    mask = np.ones((b, n_frames + n_text), bool)
+    mask[0, n_frames - 5: n_frames] = False  # padded speech tail
+    mask[1, -2:] = False                     # padded text tail
+
+    ref_mod = WindowedSelfAttention(h, window=window)
+    pal_mod = WindowedSelfAttention(h, window=window, use_pallas=True)
+    variables = ref_mod.init(jax.random.PRNGKey(0), jnp.asarray(x), n_frames,
+                             jnp.asarray(mask))
+
+    def run(mod, v, xx):
+        return mod.apply(v, xx, n_frames, jnp.asarray(mask),
+                         deterministic=True)
+
+    out_ref = run(ref_mod, variables, jnp.asarray(x))
+    out_pal = run(pal_mod, variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=2e-5, rtol=1e-4)
+
+    w = rng.standard_normal(out_ref.shape).astype(np.float32)
+    w = w * mask[..., None]
+    from jax.flatten_util import ravel_pytree
+
+    g_ref = jax.grad(lambda v: (run(ref_mod, v, jnp.asarray(x)) * w).sum())(
+        variables)
+    g_pal = jax.grad(lambda v: (run(pal_mod, v, jnp.asarray(x)) * w).sum())(
+        variables)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_p, _ = ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_r),
+                               atol=5e-4, rtol=1e-3)
