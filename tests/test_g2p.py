@@ -75,3 +75,36 @@ def test_native_g2p_handles_garbage():
     assert native_g2p("") == ["AH0"]
     assert len(native_g2p("zzzzqqq")) > 0
     _valid(native_g2p("a1b2c3"))
+
+
+def test_cmu_dict_loader():
+    """Parse the reference's shipped CMU pronouncing dictionary."""
+    import os
+    import pytest
+
+    path = "/root/reference/tools/alignment/aligner/english/dict"
+    if not os.path.exists(path):
+        pytest.skip("no reference mount")
+    from a3t_tpu.text.lexicon import build_lexicon, load_cmu_dict
+
+    lex = load_cmu_dict(path)
+    assert len(lex) > 100000
+    assert lex["HELLO"][0].startswith("HH")
+    # stress stripping + first-pronunciation policy
+    lex2 = load_cmu_dict(path, strip_stress=True)
+    assert all(not any(ch.isdigit() for ch in p) for p in lex2["HELLO"])
+
+    from a3t_tpu.text.g2p import letter_to_sound
+
+    built = build_lexicon(["hello", "zzxq"], letter_to_sound, base=lex)
+    assert built["HELLO"] == lex["HELLO"]
+    assert len(built["ZZXQ"]) > 0  # g2p fallback
+
+
+def test_cmu_dict_roundtrip(tmp_path):
+    from a3t_tpu.text.lexicon import load_cmu_dict, save_cmu_dict
+
+    lex = {"CAT": ["K", "AE1", "T"], "DOG": ["D", "AO1", "G"]}
+    p = str(tmp_path / "d.dict")
+    save_cmu_dict(lex, p)
+    assert load_cmu_dict(p) == lex
