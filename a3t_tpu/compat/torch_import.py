@@ -222,3 +222,104 @@ def load_torch_checkpoint(path: str):
     if isinstance(sd, dict) and "model" in sd:
         sd = sd["model"]
     return convert_model_state(sd)
+
+
+# ---------------------------------------------------------------------------
+# espnet exp-dir loading (the published A3T checkpoints,
+# README.md:5-8 / sedit_inference.py:350-373)
+# ---------------------------------------------------------------------------
+
+def _espnet_stack_config(conf: dict):
+    """espnet encoder_conf/decoder_conf (fsp2_conformer.yaml:27-64) ->
+    EncoderConfig."""
+    from a3t_tpu.models.conformer import EncoderConfig
+
+    attn = conf.get("selfattention_layer_type", "rel_selfattn")
+    # this fork's MLM task falls rel_selfattn back to the legacy variant
+    # (reference tasks/mlm.py:366-395; same rel_pos_type="legacy" default)
+    if attn == "rel_selfattn" and conf.get(
+            "rel_pos_type", "legacy") == "legacy":
+        attn = "legacy_rel_selfattn"
+    return EncoderConfig(
+        attention_dim=int(conf.get("attention_dim", 384)),
+        attention_heads=int(conf.get("attention_heads", 2)),
+        linear_units=int(conf.get("linear_units", 1536)),
+        num_blocks=int(conf.get("num_blocks", 4)),
+        dropout_rate=float(conf.get("dropout_rate", 0.2)),
+        positional_dropout_rate=float(
+            conf.get("positional_dropout_rate", 0.2)),
+        attention_dropout_rate=float(
+            conf.get("attention_dropout_rate", 0.2)),
+        normalize_before=bool(conf.get("normalize_before", True)),
+        macaron_style=bool(conf.get("macaron_style", True)),
+        use_cnn_module=bool(conf.get("use_cnn_module", True)),
+        cnn_module_kernel=int(conf.get("cnn_module_kernel", 7)),
+        positionwise_layer_type=conf.get("positionwise_layer_type", "conv1d"),
+        positionwise_conv_kernel_size=int(
+            conf.get("positionwise_conv_kernel_size", 3)),
+        selfattention_layer_type=attn,
+        attention_window=int(conf.get("attention_window", 0)),
+        pre_speech_layers=int(conf.get("pre_speech_layer", 0)),
+    )
+
+
+def load_espnet_a3t(model_file: str, config_file: str | None = None):
+    """Load a published espnet A3T checkpoint (train.loss.ave_5best.pth
+    with its exp config.yaml alongside).
+
+    Returns (model, variables, frontend_config, token_converter).
+    """
+    import os
+
+    import torch
+    import yaml
+
+    from a3t_tpu.dsp import LogMelConfig
+    from a3t_tpu.models.mlm import A3TMLMModel, A3TModelConfig
+    from a3t_tpu.text import TokenIDConverter
+
+    if config_file is None:
+        config_file = os.path.join(os.path.dirname(model_file), "config.yaml")
+    with open(config_file, encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+
+    token_list = cfg["token_list"]
+    if isinstance(token_list, str):
+        with open(token_list, encoding="utf-8") as f:
+            token_list = [ln.rstrip("\n") for ln in f if ln.strip()]
+
+    fx = cfg.get("feats_extract_conf", {}) or {}
+    fe_cfg = LogMelConfig(
+        fs=int(fx.get("fs", 24000)), n_fft=int(fx.get("n_fft", 2048)),
+        hop_length=int(fx.get("hop_length", 300)),
+        win_length=int(fx.get("win_length") or fx.get("n_fft", 2048)),
+        n_mels=int(fx.get("n_mels", 80)),
+        fmin=float(fx.get("fmin") or 80.0),
+        fmax=float(fx.get("fmax") or 7600.0),
+    )
+
+    enc_conf = dict(cfg.get("encoder_conf", {}) or {})
+    dec_conf = cfg.get("decoder_conf")
+    model_conf = dict(cfg.get("model_conf", {}) or {})
+    model_cfg = A3TModelConfig(
+        odim=fe_cfg.n_mels,
+        vocab_size=len(token_list),
+        encoder=_espnet_stack_config(enc_conf),
+        decoder=_espnet_stack_config(dict(dec_conf)) if dec_conf else None,
+        use_segment_emb=enc_conf.get("input_layer", "sega_mlm") == "sega_mlm",
+        postnet_layers=int(model_conf.get("postnet_layers", 5)),
+        postnet_chans=int(model_conf.get("postnet_chans", 256)),
+        postnet_filts=int(model_conf.get("postnet_filts", 5)),
+        use_mse_loss=float(model_conf.get("lsm_weight", 0.1)) > 50,
+        mlm_prob=float(model_conf.get("mlm_prob", 0.8)),
+        mean_phn_span=int(model_conf.get("mean_phn_span", 8)),
+    )
+    model = A3TMLMModel(model_cfg)
+
+    sd = torch.load(model_file, map_location="cpu")
+    if isinstance(sd, dict) and "model" in sd:
+        sd = sd["model"]
+    variables = convert_model_state(sd)
+    unk = "<unk>" if "<unk>" in token_list else token_list[0]
+    return model, variables, fe_cfg, TokenIDConverter(token_list,
+                                                      unk_symbol=unk)

@@ -205,3 +205,58 @@ def test_converted_tree_matches_init_structure(reference_model, rng):
         for p, v in jax.tree_util.tree_flatten_with_path(conv_vars["params"])[0]
     }
     assert init_paths == conv_paths
+
+
+@requires_reference
+def test_load_espnet_a3t_exp_dir(reference_model, rng, tmp_path):
+    """The published-checkpoint loading path: .pth + espnet config.yaml ->
+    (model, variables, frontend, tokens), forward-parity with torch."""
+    import yaml
+
+    from a3t_tpu.compat.torch_import import load_espnet_a3t
+
+    ckpt = str(tmp_path / "train.loss.ave_5best.pth")
+    torch.save(reference_model.state_dict(), ckpt)
+    espnet_cfg = dict(
+        token_list=[str(i) for i in range(VOCAB)],
+        encoder="conformer",
+        encoder_conf=dict(input_layer="sega_mlm", **_torch_conf(7)),
+        decoder="conformer",
+        decoder_conf=_torch_conf(7),
+        model_conf=dict(lsm_weight=0.1, postnet_layers=2, postnet_chans=16,
+                        postnet_filts=5, mlm_prob=0.8, mean_phn_span=8),
+        feats_extract_conf=dict(fs=8000, n_fft=256, hop_length=80,
+                                win_length=240, n_mels=ODIM, fmin=20,
+                                fmax=4000),
+    )
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump(espnet_cfg, f)
+
+    model, variables, fe_cfg, conv = load_espnet_a3t(ckpt)
+    assert fe_cfg.fs == 8000 and fe_cfg.n_mels == ODIM
+    assert len(conv) == VOCAB
+    # the config translation must pick the legacy rel-pos fallback
+    assert model.config.encoder.selfattention_layer_type == \
+        "legacy_rel_selfattn"
+
+    np_batch = _batch(rng)
+    tb = {
+        "speech_pad": torch.from_numpy(np_batch["speech"]),
+        "text_pad": torch.from_numpy(np_batch["text"]),
+        "masked_position": torch.from_numpy(np_batch["masked_position"]),
+        "speech_mask": torch.from_numpy(np_batch["speech_mask"][:, None, :]),
+        "text_mask": torch.from_numpy(np_batch["text_mask"][:, None, :]),
+        "speech_segment_pos": torch.from_numpy(
+            np_batch["speech_segment_pos"]),
+        "text_segment_pos": torch.from_numpy(np_batch["text_segment_pos"]),
+    }
+    with torch.no_grad():
+        ref_before, ref_after, _, _ = reference_model._forward(
+            tb, tb["speech_segment_pos"])
+    jb = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    jb["text"] = jb["text"].astype(jnp.int32)
+    before, after, _ = model.apply(variables, **jb, train=False)
+    np.testing.assert_allclose(
+        np.asarray(before), ref_before.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(after), ref_after.numpy(), atol=2e-4, rtol=1e-3)
