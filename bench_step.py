@@ -1,0 +1,127 @@
+"""Step-time ablations at the production bench shape (real chip).
+
+Chains R training steps inside one jit dispatch (the axon tunnel costs
+~30 ms per dispatch+fetch, so per-step timing must amortize it) and
+reports ms/step for config variants — the measurement base for step-time
+optimization work.
+
+    python bench_step.py [--variants prod nodrop ...]
+
+Writes docs/STEP_BENCH.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+HOP = 300
+N_FRAMES = 432
+BATCH = 88
+REPEAT = 20
+
+
+def build(variant: str):
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+    import jax.numpy as jnp
+
+    from a3t_tpu.data import make_synthetic_batch
+    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+    from a3t_tpu.models import A3TMLMModel, A3TModelConfig, EncoderConfig
+    from a3t_tpu.train import (
+        OptimConfig, create_train_state, make_optimizer, make_train_step)
+    from a3t_tpu.train.train_step import featurize
+
+    enc_kw: dict = dict(cnn_module_kernel=7, compute_dtype="bfloat16")
+    dec_kw: dict = dict(cnn_module_kernel=31, compute_dtype="bfloat16")
+    if variant == "fp32":
+        enc_kw["compute_dtype"] = dec_kw["compute_dtype"] = "float32"
+    if variant in ("noattndrop", "nodrop"):
+        enc_kw["attention_dropout_rate"] = 0.0
+        dec_kw["attention_dropout_rate"] = 0.0
+    if variant == "nodrop":
+        for kw in (enc_kw, dec_kw):
+            kw["dropout_rate"] = 0.0
+            kw["positional_dropout_rate"] = 0.0
+    if variant == "remat_attention":
+        enc_kw["remat_attention"] = True
+        dec_kw["remat_attention"] = True
+
+    fe = LogMelFrontend(LogMelConfig())
+    model = A3TMLMModel(A3TModelConfig(
+        vocab_size=80, encoder=EncoderConfig(**enc_kw),
+        decoder=EncoderConfig(**dec_kw)))
+    tx = make_optimizer(OptimConfig())
+
+    rng = np.random.default_rng(0)
+    host_batch = make_synthetic_batch(
+        rng, batch_size=BATCH, n_samples=HOP * (N_FRAMES - 1), n_text=64,
+        hop_length=HOP, vocab_size=80)
+    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+    small = {k: v[:2] for k, v in batch.items()}
+    state = create_train_state(
+        model, tx, featurize(fe, small, use_fused=False))
+    step = make_train_step(model, fe, donate=False)
+
+    @jax.jit
+    def run_n(state, batch, key):
+        def body(i, carry):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            st, _ = step.__wrapped__(st, batch, sk) \
+                if hasattr(step, "__wrapped__") else step(st, batch, sk)
+            return (st, k)
+
+        st, _ = jax.lax.fori_loop(0, REPEAT, body, (state, key))
+        return st
+
+    return state, batch, run_n
+
+
+def measure(variant: str, reps: int = 3) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    state, batch, run_n = build(variant)
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    st = run_n(state, batch, key)
+    _ = float(jnp.asarray(st.step))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st = run_n(state, batch, key)
+        _ = float(jnp.asarray(st.step))
+        times.append((time.perf_counter() - t0) / REPEAT * 1e3)
+    return min(times)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="+",
+                    default=["prod", "noattndrop", "nodrop",
+                             "remat_attention", "fp32"])
+    args = ap.parse_args()
+
+    frames = BATCH * N_FRAMES
+    report = {"batch": BATCH, "n_frames": N_FRAMES, "repeat": REPEAT}
+    for v in args.variants:
+        ms = measure(v)
+        report[v] = {"ms_per_step": round(ms, 1),
+                     "frames_per_s": round(frames / (ms / 1e3))}
+        print(v, json.dumps(report[v]), flush=True)
+    import os
+
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/STEP_BENCH.json", "w") as f:
+        json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
