@@ -170,3 +170,33 @@ def test_cli_train_with_plots_and_wandb_flag(tmp_path):
     main(["--config", conf_path, "--log-level", "WARNING"])
     plots = os.listdir(os.path.join(exp, "plots"))
     assert any(p.endswith(".png") for p in plots)
+
+
+def test_cli_train_longformer_pallas(tmp_path):
+    """The long-audio path end-to-end: longformer attention with the
+    Pallas banded kernel (interpret mode on CPU), config-driven."""
+    corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=6, fs=8000)
+    exp = str(tmp_path / "exp_lf")
+    d = mini_config_dict(corpus, exp)
+    d["model"]["encoder"].update(
+        selfattention_layer_type="longformer", attention_window=16,
+        use_pallas_attention=True, macaron_style=False,
+        use_cnn_module=False, attention_dropout_rate=0.0,
+        pre_speech_layers=1)
+    d["batcher"]["bucket_frames"] = [256]  # multiple of half-window 8
+    d["trainer"]["max_epoch"] = 1
+    conf_path = str(tmp_path / "lf.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(d, f)
+
+    from a3t_tpu.bin.train import main
+
+    main(["--config", conf_path, "--log-level", "WARNING"])
+    assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
+
+    # the canonical long-audio config parses
+    cfg = load_config("configs/a3t_longformer_16k.yaml")
+    assert cfg.model.encoder.selfattention_layer_type == "longformer"
+    assert cfg.model.encoder.use_pallas_attention
+    c = cfg.model.encoder.attention_window // 2
+    assert all(b % c == 0 for b in cfg.batcher.bucket_frames)
