@@ -104,6 +104,10 @@ class RelPositionMultiHeadedAttention(nn.Module):
     dropout_rate: float = 0.0
     legacy: bool = True
     dtype: Optional[jnp.dtype] = None
+    # fused Pallas softmax(+in-kernel dropout)+PV path
+    # (ops/fused_attention.py); the rel-shifted positional scores stay an
+    # XLA-computed additive bias so their gradient path is unchanged
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
@@ -135,8 +139,6 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = q + bias_u.astype(q.dtype)
         q_v = q + bias_v.astype(q.dtype)
 
-        matrix_ac = jnp.einsum("bthd,bshd->bhts", q_u, k,
-                               preferred_element_type=jnp.float32)
         matrix_bd = jnp.einsum("bthd,bshd->bhts", q_v, jnp.broadcast_to(
             p, (x.shape[0],) + p.shape[1:]),
             preferred_element_type=jnp.float32)
@@ -144,8 +146,39 @@ class RelPositionMultiHeadedAttention(nn.Module):
             matrix_bd
         )
 
+        flat_mask = None
+        if mask is not None:
+            m3 = mask if mask.ndim == 3 else mask[:, None, :]
+            if m3.shape[1] == 1:
+                flat_mask = m3[:, 0] != 0
+
+        if self.use_flash and (mask is None or flat_mask is not None):
+            from a3t_tpu.ops.fused_attention import fused_attention
+
+            rate = self.dropout_rate if not deterministic else 0.0
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            bias = matrix_bd
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
+            if flat_mask is None:
+                flat_mask = jnp.ones(x.shape[:2], bool)
+            out = fused_attention(
+                q_u.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias, flat_mask, dropout_rate=rate, dropout_rng=rng)
+            out = out.astype(v.dtype).transpose(0, 2, 1, 3)
+            out = out.reshape(*out.shape[:-2], d_model)
+            return nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
+                            dtype=self.dtype, name="linear_out")(out)
+
+        matrix_ac = jnp.einsum("bthd,bshd->bhts", q_u, k,
+                               preferred_element_type=jnp.float32)
         scores = (matrix_ac + matrix_bd) / np.sqrt(d_k)
         attn = apply_attn_mask(scores, mask)
+        if self.dtype is not None:
+            # softmax stays fp32; the big (B,H,T,T) prob tensor is stored,
+            # dropout-masked and PV-multiplied at compute precision
+            attn = attn.astype(self.dtype)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], d_model)

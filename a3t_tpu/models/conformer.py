@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -61,6 +62,12 @@ class EncoderConfig:
     # faster fwd+bwd than the chunked-einsum path at T=8192 on v5e
     # (docs/KERNEL_BENCH.json)
     use_pallas_attention: bool = True
+    # fused Pallas softmax+dropout+PV for the full (rel-pos) attention
+    # path, with in-kernel dropout regenerated in backward
+    # (ops/fused_attention.py).  Default on (engaged on TPU backends
+    # only): 237 -> 195 ms/step at the bench shape, with attention
+    # dropout included at no measurable cost (docs/STEP_BENCH.json)
+    use_flash_attention: bool = True
     # speech-only pre-encoder layers before the text concat
     # (transformer/encoder.py:538-563, pre_speech_layer)
     pre_speech_layers: int = 0
@@ -187,6 +194,10 @@ class ConformerBlock(nn.Module):
                 c.attention_dropout_rate,
                 legacy=c.selfattention_layer_type == "legacy_rel_selfattn",
                 dtype=c.dtype,
+                # engage the fused kernel on TPU; CPU keeps the XLA path
+                # (interpret-mode kernels would dominate test runtime)
+                use_flash=(c.use_flash_attention
+                           and jax.default_backend() == "tpu"),
                 name="self_attn",
             )(h, pos_emb, mask, det)
         else:

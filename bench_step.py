@@ -52,6 +52,12 @@ def build(variant: str):
     if variant == "remat_attention":
         enc_kw["remat_attention"] = True
         dec_kw["remat_attention"] = True
+    if variant in ("flash", "flash_nodrop"):
+        enc_kw["use_flash_attention"] = True
+        dec_kw["use_flash_attention"] = True
+        if variant == "flash_nodrop":
+            enc_kw["attention_dropout_rate"] = 0.0
+            dec_kw["attention_dropout_rate"] = 0.0
 
     fe = LogMelFrontend(LogMelConfig())
     model = A3TMLMModel(A3TModelConfig(
