@@ -37,7 +37,8 @@ def main(argv=None):
     ns = argparse.Namespace(
         exp_dir=args.exp_dir, data_dir=args.data_dir,
         checkpoint=args.checkpoint, vocoder=args.vocoder,
-        duration_exp_dir=None, uniform_duration=args.uniform_duration)
+        duration_model=None, spk_xvector=None,
+        uniform_duration=args.uniform_duration)
     editor, aligner, dataset, texts = build_editor(ns)
     hop = editor.fe.config.hop_length
     fs = editor.fe.config.fs

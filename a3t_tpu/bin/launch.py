@@ -60,23 +60,36 @@ def build_host_commands(
     return out
 
 
-def run_commands(cmds: list[list[str]]) -> int:
-    """Spawn all ranks; on any failure terminate the rest."""
+def run_commands(cmds: list[list[str]], poll_s: float = 0.2) -> int:
+    """Spawn all ranks; poll them all so any rank's failure terminates the
+    rest (a sequential wait would hang on an earlier rank stuck in a
+    collective while a later one has already died)."""
+    import time
+
     procs = [subprocess.Popen(c) for c in cmds]
     rc = 0
     try:
-        for p in procs:
-            r = p.wait()
-            if r != 0 and rc == 0:
-                rc = r
-                for q in procs:
-                    if q.poll() is None:
-                        q.terminate()
+        pending = set(range(len(procs)))
+        while pending:
+            for i in sorted(pending):
+                r = procs[i].poll()
+                if r is None:
+                    continue
+                pending.discard(i)
+                if r != 0 and rc == 0:
+                    rc = r
+                    for q in procs:
+                        if q.poll() is None:
+                            q.terminate()
+            if pending:
+                time.sleep(poll_s)
     except KeyboardInterrupt:
         for q in procs:
             if q.poll() is None:
                 q.terminate()
         rc = 130
+    for q in procs:  # reap everything (no zombies)
+        q.wait()
     return rc
 
 

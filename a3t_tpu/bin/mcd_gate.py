@@ -50,11 +50,8 @@ VCTK_UNSEEN = [
 ]
 
 
-def protocol_mask(text: str) -> str:
-    """tokens[:len//3] + [MASK] + tokens[-len//3:] (sedit_mcd.py:93-95)."""
-    tokens = text.split()
-    split = max(len(tokens) // 3, 1)
-    return " ".join(tokens[:split] + ["[MASK]"] + tokens[-split:])
+# the protocol mask lives with the rest of the MCD protocol pieces
+from a3t_tpu.eval.mcd import middle_third_mask_str as protocol_mask  # noqa: E402
 
 
 def save_splits(wav, left: int, right: int, out: str, prefix: str, fs: int,

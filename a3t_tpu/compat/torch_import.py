@@ -229,6 +229,22 @@ def load_torch_checkpoint(path: str):
 # README.md:5-8 / sedit_inference.py:350-373)
 # ---------------------------------------------------------------------------
 
+def espnet_frontend_config(cfg: dict, n_mels_default: int = 80):
+    """espnet exp config's feats_extract_conf -> LogMelConfig (shared by
+    the A3T and FS2 checkpoint loaders)."""
+    from a3t_tpu.dsp import LogMelConfig
+
+    fx = cfg.get("feats_extract_conf", {}) or {}
+    return LogMelConfig(
+        fs=int(fx.get("fs", 24000)), n_fft=int(fx.get("n_fft", 2048)),
+        hop_length=int(fx.get("hop_length", 300)),
+        win_length=int(fx.get("win_length") or fx.get("n_fft", 2048)),
+        n_mels=int(fx.get("n_mels", n_mels_default)),
+        fmin=float(fx.get("fmin") or 80.0),
+        fmax=float(fx.get("fmax") or 7600.0),
+    )
+
+
 def _espnet_stack_config(conf: dict):
     """espnet encoder_conf/decoder_conf (fsp2_conformer.yaml:27-64) ->
     EncoderConfig."""
@@ -274,7 +290,6 @@ def load_espnet_a3t(model_file: str, config_file: str | None = None):
     import torch
     import yaml
 
-    from a3t_tpu.dsp import LogMelConfig
     from a3t_tpu.models.mlm import A3TMLMModel, A3TModelConfig
     from a3t_tpu.text import TokenIDConverter
 
@@ -288,15 +303,7 @@ def load_espnet_a3t(model_file: str, config_file: str | None = None):
         with open(token_list, encoding="utf-8") as f:
             token_list = [ln.rstrip("\n") for ln in f if ln.strip()]
 
-    fx = cfg.get("feats_extract_conf", {}) or {}
-    fe_cfg = LogMelConfig(
-        fs=int(fx.get("fs", 24000)), n_fft=int(fx.get("n_fft", 2048)),
-        hop_length=int(fx.get("hop_length", 300)),
-        win_length=int(fx.get("win_length") or fx.get("n_fft", 2048)),
-        n_mels=int(fx.get("n_mels", 80)),
-        fmin=float(fx.get("fmin") or 80.0),
-        fmax=float(fx.get("fmax") or 7600.0),
-    )
+    fe_cfg = espnet_frontend_config(cfg)
 
     enc_conf = dict(cfg.get("encoder_conf", {}) or {})
     dec_conf = cfg.get("decoder_conf")

@@ -338,11 +338,13 @@ def mcd_between_waveforms(
 # ---------------------------------------------------------------------------
 
 def middle_third_mask_str(text: str) -> str:
-    """The VCTK/LJSpeech protocol: replace the middle third of the words
-    with [MASK]."""
-    words = text.split()
-    third = max(1, len(words) // 3)
-    return " ".join(words[:third] + ["[MASK]"] + words[2 * third:])
+    """The VCTK/LJSpeech protocol mask: ``tokens[:n//3] + [MASK] +
+    tokens[-n//3:]`` — exactly sedit_mcd.py:93-95 (note the tail is
+    counted from the *end*, which differs from ``tokens[2*(n//3):]``
+    whenever ``n % 3 != 0``)."""
+    tokens = text.split()
+    split = max(len(tokens) // 3, 1)
+    return " ".join(tokens[:split] + ["[MASK]"] + tokens[-split:])
 
 
 def evaluate_masked_reconstruction(

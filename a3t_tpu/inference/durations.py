@@ -91,6 +91,7 @@ def load_duration_fn(
                                     spembs=spembs, sp_map=sp_map)
 
     from a3t_tpu.compat.fs2_import import load_espnet_fs2
+    from a3t_tpu.compat.torch_import import espnet_frontend_config
     from a3t_tpu.text import TokenIDConverter
 
     model, variables, token_list = load_espnet_fs2(path)
@@ -101,14 +102,7 @@ def load_duration_fn(
     with open(os.path.join(os.path.dirname(path), "config.yaml"),
               encoding="utf-8") as f:
         cfg = yaml.safe_load(f)
-    fx = cfg.get("feats_extract_conf", {}) or {}
-    fe_cfg = LogMelConfig(
-        fs=int(fx.get("fs", 24000)), n_fft=int(fx.get("n_fft", 2048)),
-        hop_length=int(fx.get("hop_length", 300)),
-        win_length=int(fx.get("win_length") or fx.get("n_fft", 2048)),
-        n_mels=int(fx.get("n_mels", model.config.odim)),
-        fmin=float(fx.get("fmin") or 80.0), fmax=float(fx.get("fmax") or 7600.0),
-    )
+    fe_cfg = espnet_frontend_config(cfg, n_mels_default=model.config.odim)
     return make_fs2_duration_fn(
         model, variables, conv, fe_cfg, spembs=spembs,
         sp_map={"sp": "<blank>"})

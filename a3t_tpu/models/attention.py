@@ -23,6 +23,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from a3t_tpu.models.dropout import SeededDropout
+
 from a3t_tpu.models.layers import xavier, zeros
 
 
@@ -85,7 +87,7 @@ class MultiHeadedAttention(nn.Module):
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(d_k)
         attn = apply_attn_mask(scores, mask)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        attn = SeededDropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], d_model)
         return nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
@@ -179,7 +181,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
             # softmax stays fp32; the big (B,H,T,T) prob tensor is stored,
             # dropout-masked and PV-multiplied at compute precision
             attn = attn.astype(self.dtype)
-        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
+        attn = SeededDropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], d_model)
         return nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,

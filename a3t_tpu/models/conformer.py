@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from a3t_tpu.models.dropout import SeededDropout
+
 from a3t_tpu.models.attention import (
     MultiHeadedAttention,
     RelPositionMultiHeadedAttention,
@@ -115,7 +117,7 @@ class RelPosEncoding(nn.Module):
             pe = np.concatenate([pos[::-1], neg[1:]], axis=0)
         pos_emb = jnp.asarray(pe)[None].astype(x.dtype)
         x = x * np.sqrt(self.d_model).astype(np.float32)
-        drop = nn.Dropout(self.dropout_rate)
+        drop = SeededDropout(self.dropout_rate)
         return (
             drop(x, deterministic=deterministic),
             drop(pos_emb, deterministic=deterministic),
@@ -137,7 +139,7 @@ class AbsPosEncoding(nn.Module):
             x = x + alpha * pe.astype(x.dtype)
         else:
             x = x * np.sqrt(self.d_model).astype(np.float32) + pe.astype(x.dtype)
-        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return SeededDropout(self.dropout_rate)(x, deterministic=deterministic)
 
 
 class ConformerBlock(nn.Module):
@@ -165,7 +167,7 @@ class ConformerBlock(nn.Module):
     def __call__(self, x, pos_emb, mask, train: bool = False, n_frames=None):
         c = self.config
         det = not train
-        drop = nn.Dropout(c.dropout_rate)
+        drop = SeededDropout(c.dropout_rate)
         ff_scale = 0.5 if c.macaron_style else 1.0
 
         if c.macaron_style:
@@ -180,7 +182,10 @@ class ConformerBlock(nn.Module):
             h = WindowedSelfAttention(
                 c.attention_heads, c.attention_window,
                 c.attention_dropout_rate, dtype=c.dtype,
-                use_pallas=c.use_pallas_attention, name="self_attn",
+                # TPU only: interpret-mode kernels would crawl on CPU
+                use_pallas=(c.use_pallas_attention
+                            and jax.default_backend() == "tpu"),
+                name="self_attn",
             )(h, n_frames if n_frames is not None else h.shape[1],
               flat_mask, deterministic=det)
         elif c.selfattention_layer_type in ("legacy_rel_selfattn", "rel_selfattn"):

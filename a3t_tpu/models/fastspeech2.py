@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from a3t_tpu.models.dropout import SeededDropout
+
 from a3t_tpu.models.conformer import (
     AbsPosEncoding,
     ConformerStack,
@@ -115,7 +117,7 @@ class VariancePredictor(nn.Module):
                         kernel_init=xavier(), bias_init=zeros)(h)
             h = nn.relu(h)
             h = nn.LayerNorm(epsilon=1e-5)(h)
-            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            h = SeededDropout(self.dropout_rate)(h, deterministic=deterministic)
         out = nn.Dense(1, kernel_init=xavier(), bias_init=zeros)(h)
         if pad_mask is not None:
             out = jnp.where(pad_mask[..., None], 0.0, out)

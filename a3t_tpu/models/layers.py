@@ -15,6 +15,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from a3t_tpu.models.dropout import SeededDropout
+
 # torch xavier_uniform + zero bias, the reference's `init: xavier_uniform`
 # (espnet2/torch_utils/initialize.py applied via tasks/mlm.py:438-440).
 xavier = nn.initializers.xavier_uniform
@@ -69,7 +71,7 @@ class PositionwiseFeedForward(nn.Module):
         h = nn.Dense(self.hidden, kernel_init=xavier(), bias_init=zeros,
                      dtype=self.dtype)(x)
         h = ACTIVATIONS[self.activation](h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = SeededDropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Dense(d, kernel_init=xavier(), bias_init=zeros,
                         dtype=self.dtype)(h)
 
@@ -96,7 +98,7 @@ class MultiLayeredConv1d(nn.Module):
             dtype=self.dtype,
         )(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = SeededDropout(self.dropout_rate)(h, deterministic=deterministic)
         return nn.Conv(
             d,
             (self.kernel_size,),
@@ -172,7 +174,7 @@ class Postnet(nn.Module):
             if self.dtype is not None:
                 h = h.astype(self.dtype)
             h = jnp.tanh(h)
-            h = nn.Dropout(self.dropout_rate)(h, deterministic=not train)
+            h = SeededDropout(self.dropout_rate)(h, deterministic=not train)
         h = nn.Conv(
             self.odim,
             (self.n_filts,),
@@ -183,7 +185,7 @@ class Postnet(nn.Module):
         )(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(
             h.astype(jnp.float32))
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=not train)
+        h = SeededDropout(self.dropout_rate)(h, deterministic=not train)
         return h
 
 
@@ -225,7 +227,7 @@ class DurationPredictor(nn.Module):
             )(h)
             h = nn.relu(h)
             h = nn.LayerNorm(epsilon=1e-5)(h)
-            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            h = SeededDropout(self.dropout_rate)(h, deterministic=deterministic)
         out = nn.Dense(1, kernel_init=xavier(), bias_init=zeros)(h)[..., 0]
         if pad_mask is not None:
             out = jnp.where(pad_mask, 0.0, out)

@@ -25,6 +25,8 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from a3t_tpu.models.dropout import SeededDropout
+
 from a3t_tpu.models.layers import xavier, zeros
 
 
@@ -139,7 +141,7 @@ class WindowedSelfAttention(nn.Module):
 
             all_scores = jnp.concatenate([band_scores, text_scores], axis=-1)
             attn = nn.softmax(all_scores, axis=-1)
-            attn = nn.Dropout(self.dropout_rate)(
+            attn = SeededDropout(self.dropout_rate)(
                 attn, deterministic=deterministic)
             a_band, a_text = attn[..., : 3 * c], attn[..., 3 * c:]
             out_sp = jnp.einsum(
@@ -154,7 +156,7 @@ class WindowedSelfAttention(nn.Module):
             preferred_element_type=jnp.float32) * scale
         full_scores = jnp.where(mask[:, None, None, :], full_scores, neg)
         attn_tx = nn.softmax(full_scores, axis=-1)
-        attn_tx = nn.Dropout(self.dropout_rate)(
+        attn_tx = SeededDropout(self.dropout_rate)(
             attn_tx, deterministic=deterministic)
         out_tx = jnp.einsum("bhts,bshd->bthd", attn_tx.astype(v.dtype), v)
 

@@ -249,21 +249,22 @@ class FS2Task:
 
         train_step = make_fs2_train_step(model, fe)
 
-        def eval_step(state, batch):
-            def loss_only(params, batch_stats, batch):
-                mel, _ = fe.fused(batch["audio"], batch["audio_lengths"])
-                mel = mel[:, : model.config.max_feat_len]
-                out = model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    batch["text"], batch["text_mask"],
-                    speech=mel if model.config.use_gst else None,
-                    durations=batch["durations"], pitch=batch["pitch"],
-                    energy=batch["energy"], train=False)
-                targets = dict(mel=mel, durations=batch["durations"],
-                               pitch=batch["pitch"], energy=batch["energy"])
-                return fastspeech2_loss(out, targets, batch["text_mask"])
+        @jax.jit
+        def _eval_loss(params, batch_stats, batch):
+            mel, _ = fe.fused(batch["audio"], batch["audio_lengths"])
+            mel = mel[:, : model.config.max_feat_len]
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["text"], batch["text_mask"],
+                speech=mel if model.config.use_gst else None,
+                durations=batch["durations"], pitch=batch["pitch"],
+                energy=batch["energy"], train=False)
+            targets = dict(mel=mel, durations=batch["durations"],
+                           pitch=batch["pitch"], energy=batch["energy"])
+            return fastspeech2_loss(out, targets, batch["text_mask"])
 
-            return jax.jit(loss_only)(state.params, state.batch_stats, batch)
+        def eval_step(state, batch):
+            return _eval_loss(state.params, state.batch_stats, batch)
 
         trainer = Trainer(
             cfg.trainer,

