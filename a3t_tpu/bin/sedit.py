@@ -86,6 +86,10 @@ def main(argv=None):
     parser.add_argument("--uniform-duration", type=float, default=0.1,
                         help="fallback per-phone duration in seconds "
                              "(ignored when --duration-model is given)")
+    parser.add_argument(
+        "--dynamic-eval", default=None, metavar="LR,STEPS",
+        help="test-time fine-tuning on the prompt utterance before "
+             "decoding (sedit_inference.py:748-776), e.g. 5e-5,3")
     args = parser.parse_args(argv)
 
     from a3t_tpu.data.fileio import write_wav
@@ -95,6 +99,13 @@ def main(argv=None):
     wav = item["audio"]
     align = aligner(args.uid)
     old_str = texts[args.uid]
+
+    if args.dynamic_eval:
+        from a3t_tpu.inference.baselines import dynamic_evaluation
+
+        lr, steps = args.dynamic_eval.split(",")
+        editor = dynamic_evaluation(editor, wav, align, old_str,
+                                    lr=float(lr), steps=int(steps))
 
     if args.mode == "prompt":
         out = editor.prompt_tts(wav, align, old_str, args.new_text)

@@ -80,7 +80,14 @@ class MLMTask:
     def build_batcher(cls, cfg: A3TTaskConfig, data_dir: str,
                       conv: TokenIDConverter, train: bool,
                       batch_multiple: int = 1) -> BucketBatcher:
-        ds = A3TDataset(data_dir, conv, speech_only=cfg.speech_only)
+        if os.path.exists(os.path.join(data_dir, "index.npz")):
+            # packed record shards (a3t_tpu/data/records.py) — corpus-scale
+            # storage with memmap reads instead of per-file opens
+            from a3t_tpu.data.records import RecordDataset
+
+            ds = RecordDataset(data_dir, speech_only=cfg.speech_only)
+        else:
+            ds = A3TDataset(data_dir, conv, speech_only=cfg.speech_only)
         bcfg = cfg.batcher
         if not train:
             bcfg = dataclasses.replace(bcfg, mlm_prob_factor=1.0)

@@ -43,7 +43,8 @@ def ensure_corpus(n_utts: int) -> str:
     return cache
 
 
-def bench(corpus: str, threads: int, iters: int, prefetch: int = 2) -> dict:
+def bench(corpus: str, threads: int, iters: int, prefetch: int = 2,
+          records: bool = False) -> dict:
     from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
     from a3t_tpu.data.dataset import A3TDataset
     from a3t_tpu.data.fileio import read_2column_text
@@ -55,7 +56,16 @@ def bench(corpus: str, threads: int, iters: int, prefetch: int = 2) -> dict:
     conv = TokenIDConverter(build_token_list(texts.values()))
     fe_cfg = LogMelConfig()  # 24 kHz production settings
     bcfg = BatcherConfig(loader_threads=threads)
-    ds = A3TDataset(corpus, conv)
+    if records:
+        from a3t_tpu.data.records import RecordDataset, pack_records
+
+        rec_dir = corpus.rstrip("/") + "_records"
+        if not os.path.exists(os.path.join(rec_dir, "index.npz")):
+            print("packing record shards (once)...", flush=True)
+            pack_records(A3TDataset(corpus, conv), rec_dir)
+        ds = RecordDataset(rec_dir)
+    else:
+        ds = A3TDataset(corpus, conv)
     t0 = time.perf_counter()
     batcher = BucketBatcher(ds, fe_cfg, bcfg)
     startup_s = time.perf_counter() - t0
@@ -108,6 +118,10 @@ def main():
         r = bench(corpus, th, args.iters)
         report["runs"].append(r)
         print(json.dumps(r), flush=True)
+    r = bench(corpus, args.threads[0], args.iters, records=True)
+    r["storage"] = "records"
+    report["runs"].append(r)
+    print(json.dumps(r), flush=True)
     os.makedirs("docs", exist_ok=True)
     with open("docs/INPUT_BENCH.json", "w") as f:
         json.dump(report, f, indent=1)

@@ -1,0 +1,96 @@
+"""Packed-record storage: pack/read equivalence, batcher integration,
+config-driven training from a record dir."""
+
+import os
+
+import numpy as np
+import pytest
+
+from a3t_tpu.data.dataset import A3TDataset
+from a3t_tpu.data.fileio import read_2column_text
+from a3t_tpu.data.miniature import generate_mini_corpus
+from a3t_tpu.data.records import RecordDataset, pack_records
+from a3t_tpu.text import TokenIDConverter, build_token_list
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rec")
+    corpus = generate_mini_corpus(str(root / "data"), n_utts=8, fs=8000)
+    texts = read_2column_text(os.path.join(corpus, "text"))
+    conv = TokenIDConverter(build_token_list(texts.values()))
+    ds = A3TDataset(corpus, conv)
+    out = pack_records(ds, str(root / "records"), shard_mb=1)
+    conv.save(os.path.join(out, "tokens.txt"))
+    return corpus, out, conv
+
+
+def test_roundtrip_equivalence(packed):
+    corpus, out, conv = packed
+    ref = A3TDataset(corpus, conv)
+    rec = RecordDataset(out)
+    assert rec.uids == ref.uids
+    for uid in ref.uids[:4]:
+        a, b = ref[uid], rec[uid]
+        assert b["fs"] == a["fs"]
+        # int16 quantization bound
+        np.testing.assert_allclose(b["audio"], a["audio"], atol=1.0 / 32767)
+        np.testing.assert_array_equal(b["text_ids"], a["text_ids"])
+        np.testing.assert_allclose(b["align_start_sec"],
+                                   a["align_start_sec"], rtol=1e-6)
+        assert b["phones"] == a["phones"]
+        assert rec.num_samples(uid) == ref.num_samples(uid)
+        assert rec.num_phones(uid) == ref.num_phones(uid)
+
+
+def test_multiple_shards_created(packed):
+    _, out, _ = packed
+    shards = [f for f in os.listdir(out) if f.startswith("shard_")]
+    assert len(shards) >= 1
+    # tiny shard budget: at 8 kHz a few utts exceed 1 MB total
+    total = sum(os.path.getsize(os.path.join(out, s)) for s in shards)
+    assert total > 0
+
+
+def test_batcher_over_records_matches_wav_batches(packed):
+    from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
+    from a3t_tpu.dsp import LogMelConfig
+
+    corpus, out, conv = packed
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    bcfg = BatcherConfig(batch_bins=20 * 256 * 4, bucket_frames=[256],
+                         min_frames=1, use_native_loader=False)
+    ref_b = BucketBatcher(A3TDataset(corpus, conv), fe, bcfg)
+    rec_b = BucketBatcher(RecordDataset(out), fe, bcfg)
+    ref_batch = next(iter(ref_b.epoch_iterator(0)))
+    rec_batch = next(iter(rec_b.epoch_iterator(0)))
+    assert set(ref_batch) == set(rec_batch)
+    for k in ref_batch:
+        assert ref_batch[k].shape == rec_batch[k].shape, k
+    np.testing.assert_array_equal(ref_batch["text"], rec_batch["text"])
+    np.testing.assert_allclose(ref_batch["audio"], rec_batch["audio"],
+                               atol=1.0 / 32767)
+
+
+def test_cli_train_from_record_dir(tmp_path):
+    import yaml
+
+    from a3t_tpu.bin.pack_records import main as pack_main
+    from a3t_tpu.bin.train import main as train_main
+    from test_task import mini_config_dict
+
+    corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=6, fs=8000)
+    rec = str(tmp_path / "records")
+    pack_main(["--data-dir", corpus, "--out", rec])
+    assert os.path.exists(os.path.join(rec, "index.npz"))
+
+    exp = str(tmp_path / "exp_rec")
+    d = mini_config_dict(rec, exp)
+    d["valid_data_dir"] = rec
+    d["trainer"]["max_epoch"] = 1
+    conf = str(tmp_path / "r.yaml")
+    with open(conf, "w") as f:
+        yaml.safe_dump(d, f)
+    train_main(["--config", conf, "--log-level", "WARNING"])
+    assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
