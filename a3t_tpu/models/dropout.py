@@ -1,15 +1,34 @@
-"""Recompute-in-backward dropout.
+"""Recompute-in-backward dropout with a raw-8-bit Bernoulli mask.
 
-Saves only the PRNG key as the residual and regenerates the mask in the
-backward pass.  Step-time *neutral* vs nn.Dropout at the bench shape
-(195.5 vs 195.4 ms — the ~27 ms the elementwise dropout sites cost is
-forward RNG + mask application, not residual traffic), but it removes
-~34 activation-sized mask residuals from live memory between forward and
-backward — headroom for longer sequences and bigger batches.
+The elementwise dropout sites cost ~27 ms of the 195 ms production step
+(docs/STEP_BENCH.json: prod vs flash_only_attn_drop), and the binding
+resource is hardware-PRNG bit throughput — not the bits->float conversion
+(raw u32 draws measured step-time neutral) and not mask-residual traffic.
+So this module cuts *bits per element*:
 
-Distributionally identical to flax's nn.Dropout; the realized bits differ
-(different key-consumption order), which only matters for bit-exact
-replay of nn.Dropout-trained runs.
+* **u8 draws**: ``random_bits_u8 < ceil/round((1-rate)·256)`` — 8 random
+  bits per element instead of bernoulli's 32.  Measured 195.6 -> 178.2
+  ms/step at the bench shape (u16 lands between, 185.0).
+* The u8 threshold quantizes the keep probability to multiples of 1/256
+  (rate 0.2 realizes as 204.8/256 -> 205/256 = 0.80078 keep).  The
+  inverted-scale uses the *realized* probability, so E[dropout(x)] == x
+  holds exactly; only the regularization strength moves, by < 1/512 —
+  far below run-to-run noise.
+* **Recompute-in-backward** (jax.custom_vjp): saves only the PRNG key as
+  the residual and regenerates the mask in the backward pass — removes
+  ~34 activation-sized mask residuals from live memory between forward
+  and backward (headroom for longer sequences and bigger batches) at no
+  step-time cost.
+
+Distributionally a Bernoulli(round((1-rate)·256)/256) dropout; flax's
+nn.Dropout realizes different bits (key-consumption order and bit-to-mask
+rule), which only matters for bit-exact replay of nn.Dropout-trained runs.
+
+NB: a byte-packed variant (4 mask elements per u32 draw via
+bitcast_convert_type + reshape) was measured *slower* (217 ms/step) — the
+u8 bitcast + flat reshape breaks XLA's elementwise fusion.  ``bits()``
+with a u8 dtype keeps the mask shape aligned with the operand, so the
+compare/select fuse into the surrounding elementwise graph.
 """
 
 from __future__ import annotations
@@ -21,15 +40,30 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-# NB: a byte-packed variant (4 mask elements per u32 draw via
-# bitcast_convert_type) was measured *slower* (217 vs 195 ms/step) — the
-# u8 bitcast + flat reshape breaks XLA's elementwise fusion; the plain
-# bernoulli form below is step-time neutral vs nn.Dropout and saves the
-# mask residual.
+def _threshold(rate: float) -> int:
+    """Keep-threshold in [1, 255]: keep iff u8 < threshold."""
+    return min(max(int(round((1.0 - rate) * 256.0)), 1), 255)
+
+
+def realized_keep_prob(rate: float) -> float:
+    """The exact keep probability the u8 mask realizes for ``rate``."""
+    return _threshold(rate) / 256.0
+
+
+def _keep_mask(key, rate: float, shape):
+    bits = jax.random.bits(key, shape, jnp.uint8)
+    return bits < jnp.uint8(_threshold(rate))
+
+
+def _apply(x, keep, rate: float):
+    # scale by the *realized* keep probability: exactly unbiased
+    scale = jnp.asarray(1.0 / realized_keep_prob(rate), x.dtype)
+    return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def seeded_dropout(x, key, rate: float):
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+    return _apply(x, _keep_mask(key, rate, x.shape), rate)
 
 
 def _fwd(x, key, rate):
@@ -37,9 +71,7 @@ def _fwd(x, key, rate):
 
 
 def _bwd(rate, key, g):
-    keep = jax.random.bernoulli(key, 1.0 - rate, g.shape)
-    dx = jnp.where(keep, g / (1.0 - rate), 0.0).astype(g.dtype)
-    return dx, None
+    return _apply(g, _keep_mask(key, rate, g.shape), rate), None
 
 
 seeded_dropout.defvjp(_fwd, _bwd)

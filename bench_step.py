@@ -40,8 +40,25 @@ def build(variant: str):
 
     enc_kw: dict = dict(cnn_module_kernel=7, compute_dtype="bfloat16")
     dec_kw: dict = dict(cnn_module_kernel=31, compute_dtype="bfloat16")
+    model_kw: dict = {}
+    precompute_feats = False
     if variant == "fp32":
         enc_kw["compute_dtype"] = dec_kw["compute_dtype"] = "float32"
+    if variant == "xla_attn":
+        enc_kw["use_flash_attention"] = False
+        dec_kw["use_flash_attention"] = False
+    if variant == "nofrontend":
+        # features precomputed outside the step: sizes the on-device
+        # DFT-matmul front-end's share of the step
+        precompute_feats = True
+    if variant == "noconv":
+        enc_kw["use_cnn_module"] = False
+        dec_kw["use_cnn_module"] = False
+    if variant == "linear_ffn":
+        enc_kw["positionwise_layer_type"] = "linear"
+        dec_kw["positionwise_layer_type"] = "linear"
+    if variant == "nopostnet":
+        model_kw["postnet_layers"] = 0
     if variant in ("noattndrop", "nodrop"):
         enc_kw["attention_dropout_rate"] = 0.0
         dec_kw["attention_dropout_rate"] = 0.0
@@ -68,7 +85,7 @@ def build(variant: str):
     fe = LogMelFrontend(LogMelConfig())
     model = A3TMLMModel(A3TModelConfig(
         vocab_size=80, encoder=EncoderConfig(**enc_kw),
-        decoder=EncoderConfig(**dec_kw)))
+        decoder=EncoderConfig(**dec_kw), **model_kw))
     tx = make_optimizer(OptimConfig())
 
     rng = np.random.default_rng(0)
@@ -79,7 +96,11 @@ def build(variant: str):
     small = {k: v[:2] for k, v in batch.items()}
     state = create_train_state(
         model, tx, featurize(fe, small, use_fused=False))
-    step = make_train_step(model, fe, donate=False)
+    if precompute_feats:
+        batch = jax.jit(lambda b: featurize(fe, b))(batch)
+        step = make_train_step(model, None, donate=False)
+    else:
+        step = make_train_step(model, fe, donate=False)
 
     @jax.jit
     def run_n(state, batch, key):
@@ -117,8 +138,9 @@ def measure(variant: str, reps: int = 3) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="+",
-                    default=["prod", "noattndrop", "nodrop",
-                             "remat_attention", "fp32"])
+                    default=["prod", "xla_attn", "flash_only_attn_drop",
+                             "nodrop", "nofrontend", "noconv",
+                             "linear_ffn", "nopostnet", "fp32"])
     args = ap.parse_args()
 
     frames = BATCH * N_FRAMES

@@ -1,0 +1,63 @@
+"""seeded_dropout: distribution, determinism, and backward-mask consistency
+(the recompute-in-backward + raw-bits rules in a3t_tpu/models/dropout.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a3t_tpu.models.dropout import SeededDropout, seeded_dropout
+
+
+def test_drop_rate_and_scaling():
+    from a3t_tpu.models.dropout import realized_keep_prob
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((512, 512), jnp.float32)
+    y = np.asarray(seeded_dropout(x, key, 0.2))
+    kept = y != 0.0
+    q = realized_keep_prob(0.2)
+    assert abs(q - 0.8) <= 1.0 / 512.0  # u8 quantization bound
+    assert abs(kept.mean() - q) < 0.01
+    np.testing.assert_allclose(y[kept], 1.0 / q, rtol=1e-6)
+    # unbiased for the realized rate: E[y] == x
+    assert abs(y.mean() - 1.0) < 0.01
+
+
+def test_deterministic_per_key():
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 64)),
+                    jnp.float32)
+    a = np.asarray(seeded_dropout(x, key, 0.5))
+    b = np.asarray(seeded_dropout(x, key, 0.5))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(seeded_dropout(x, jax.random.PRNGKey(8), 0.5))
+    assert (a != c).any()
+
+
+def test_backward_regenerates_the_same_mask():
+    """grad must be scale where the forward kept, 0 where it dropped."""
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((128, 128)),
+                    jnp.float32)
+    y, vjp = jax.vjp(lambda v: seeded_dropout(v, key, 0.2), x)
+    (gx,) = vjp(jnp.ones_like(y))
+    from a3t_tpu.models.dropout import realized_keep_prob
+
+    kept = np.asarray(y != 0.0)
+    np.testing.assert_allclose(np.asarray(gx)[kept],
+                               1.0 / realized_keep_prob(0.2), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(gx)[~kept], 0.0)
+
+
+def test_bf16_dtype_preserved():
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((32, 32), jnp.bfloat16)
+    y = seeded_dropout(x, key, 0.3)
+    assert y.dtype == jnp.bfloat16
+
+
+def test_module_deterministic_path():
+    x = jnp.ones((4, 4))
+    mod = SeededDropout(0.5)
+    y = mod.apply({}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
