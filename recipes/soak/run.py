@@ -1,0 +1,259 @@
+"""Quality-soak recipe: hours-long training on a formant-synthesized corpus.
+
+The published MCD gate needs the external A3T checkpoint + VCTK audio
+(unreachable here — docs/MCD_GATE.md); this recipe is the strongest local
+substitute: a multi-speaker speech-like corpus (a3t_tpu/data/miniature.py::
+generate_speechlike_corpus) large enough to train the *production-size*
+model for hours on the real chip, through the full production pipeline —
+native C++ forced alignment (evaluated against the oracle boundaries the
+synthesizer knows), packed record shards, bf16 + flash-attention training
+with step-keyed checkpoints, and the reference MCD protocol (middle-third
+mask, teacher-forced, replaced-span MCD) on held-out utterances.
+
+Stages (reference run.sh / mlm.sh analogue):
+  1  synthesize corpus (train + held-out eval split)
+  2  native forced alignment + boundary-error eval vs oracle
+  3  pack record shards
+  4  train (resumable; bound wall-clock with --epochs)
+  5  eval: middle-third MCD + speech-edit / prompt-TTS demos
+
+Run:  python recipes/soak/run.py --workdir /tmp/a3t_soak \
+          [--stage 1 --stop-stage 5] [--n-utts 4000] [--epochs 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+FS = 16000
+N_EVAL = 48
+
+
+def stage1_data(args, train_dir, eval_dir):
+    from a3t_tpu.data.miniature import generate_speechlike_corpus
+
+    print("== stage 1: corpus synthesis ==", flush=True)
+    t0 = time.time()
+    generate_speechlike_corpus(
+        train_dir, n_utts=args.n_utts, n_speakers=args.n_speakers, fs=FS,
+        seed=0)
+    # held-out utterances from the same speaker pool (same seed-derived
+    # speaker params: seed controls speakers first, so re-seeding changes
+    # utterances; use a disjoint id range instead)
+    generate_speechlike_corpus(
+        eval_dir, n_utts=N_EVAL, n_speakers=args.n_speakers, fs=FS, seed=1)
+    print(f"   synthesized {args.n_utts}+{N_EVAL} utts "
+          f"in {time.time() - t0:.0f}s", flush=True)
+
+
+def _oracle_backup(data_dir):
+    for f in ("mfa_start", "mfa_end"):
+        src = os.path.join(data_dir, f)
+        dst = src + ".oracle"
+        if not os.path.exists(dst):
+            os.replace(src, dst)
+
+
+def stage2_align(args, train_dir, workdir):
+    """Train the native aligner on a corpus subsample, align everything,
+    and score phone-boundary error against the synthesizer's oracle."""
+    import numpy as np
+
+    from a3t_tpu.align.native import NativeAligner
+    from a3t_tpu.data.fileio import (
+        SoundScpReader, read_2column_text, load_num_sequence_text,
+        write_num_sequence_text)
+
+    print("== stage 2: native forced alignment ==", flush=True)
+    _oracle_backup(train_dir)
+    wav = SoundScpReader(os.path.join(train_dir, "wav.scp"))
+    text = read_2column_text(os.path.join(train_dir, "text"))
+    uids = [u for u in wav.keys() if u in text]
+
+    phone_set = sorted({p for t in text.values() for p in t.split()})
+    aligner = NativeAligner(phone_set, FS)
+
+    rng = np.random.default_rng(0)
+    sub = list(rng.permutation(uids)[: args.align_utts])
+    t0 = time.time()
+    utts = [(wav[u][1], text[u].split()) for u in sub]
+    lls = aligner.train(utts, n_iterations=8, n_mixtures=args.align_mixtures)
+    print(f"   EM on {len(sub)} utts: ll/frame {lls[0]:.2f} -> {lls[-1]:.2f} "
+          f"({aligner.n_mixtures} mix, {time.time() - t0:.0f}s)", flush=True)
+    aligner.save(os.path.join(workdir, "aligner.bin"))
+
+    starts, ends = {}, {}
+    t0 = time.time()
+    for u in uids:
+        s, e = aligner.align(wav[u][1], text[u].split())
+        starts[u], ends[u] = s, e
+    write_num_sequence_text(os.path.join(train_dir, "mfa_start"), starts)
+    write_num_sequence_text(os.path.join(train_dir, "mfa_end"), ends)
+    print(f"   aligned {len(uids)} utts in {time.time() - t0:.0f}s",
+          flush=True)
+
+    # boundary error vs oracle: interior boundaries (end of phone i ==
+    # start of phone i+1), the standard forced-alignment metric
+    o_start = load_num_sequence_text(os.path.join(train_dir,
+                                                  "mfa_start.oracle"))
+    errs = []
+    for u in uids:
+        a = np.asarray(starts[u][1:], np.float64)
+        b = np.asarray(o_start[u][1:], np.float64)
+        if len(a) == len(b) and len(a):
+            errs.append(np.abs(a - b))
+    errs = np.concatenate(errs) * 1000.0
+    stats = {
+        "n_boundaries": int(errs.size),
+        "median_ms": float(np.median(errs)),
+        "mean_ms": float(errs.mean()),
+        "p90_ms": float(np.percentile(errs, 90)),
+        "within_20ms_pct": float((errs <= 20.0).mean() * 100.0),
+        "em_train_utts": len(sub),
+        "n_mixtures": int(aligner.n_mixtures),
+    }
+    print(f"   boundary error vs oracle: median {stats['median_ms']:.1f} ms, "
+          f"p90 {stats['p90_ms']:.1f} ms, "
+          f"<=20ms {stats['within_20ms_pct']:.1f}%", flush=True)
+    with open(os.path.join(workdir, "aligner_eval.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+
+
+def stage3_pack(args, train_dir, records_dir):
+    from a3t_tpu.bin.pack_records import main as pack_main
+
+    print("== stage 3: pack record shards ==", flush=True)
+    pack_main(["--data-dir", train_dir, "--out", records_dir])
+
+
+def stage4_train(args, records_dir, eval_dir, workdir, exp):
+    import yaml
+
+    print("== stage 4: training ==", flush=True)
+    conf = {
+        "train_data_dir": records_dir,
+        "valid_data_dir": eval_dir,
+        "token_list": os.path.join(records_dir, "tokens.txt"),
+        "exp_dir": exp,
+        # reference 16 kHz front-end settings (tasks/mlm.py:544-548)
+        "frontend": {"fs": FS, "n_fft": 1024, "hop_length": 200,
+                     "win_length": 800, "n_mels": 80, "fmin": 80.0,
+                     "fmax": 7600.0},
+        # production-size model (fsp2_conformer.yaml), bf16 + flash
+        "model": {
+            "encoder": {"cnn_module_kernel": 7,
+                        "compute_dtype": "bfloat16"},
+            "decoder": {"cnn_module_kernel": 31,
+                        "compute_dtype": "bfloat16"},
+            "mlm_prob": 0.8, "mean_phn_span": 8,
+        },
+        "optim": {"lr": 1.0, "model_size": 384,
+                  "warmup_steps": args.warmup_steps, "grad_clip": 1.0},
+        "batcher": {"batch_bins": args.batch_bins,
+                    "bucket_frames": [192, 256, 320, 448],
+                    "mlm_prob": 0.8, "mean_phn_span": 8.0,
+                    "mlm_prob_factor": 0.8},
+        "trainer": {"max_epoch": args.epochs,
+                    "num_iters_per_epoch": args.iters_per_epoch,
+                    "keep_nbest_models": 5, "log_interval": 50,
+                    "resume": True},
+    }
+    conf_path = os.path.join(workdir, "config.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    from a3t_tpu.bin.train import main as train_main
+
+    train_main(["--config", conf_path])
+
+
+def stage5_eval(args, train_dir, eval_dir, workdir, exp):
+    from a3t_tpu.bin.mcd_gate import run_gate
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.data.fileio import read_2column_text, write_wav
+    from a3t_tpu.eval.mcd import MCDConfig
+    from a3t_tpu.inference import FileAlignmentSource, SpeechEditor
+    from a3t_tpu.tasks import MLMTask
+
+    print("== stage 5: evaluation ==", flush=True)
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
+    texts = read_2column_text(os.path.join(eval_dir, "text"))
+    lexicon = {p.upper(): [p] for t in texts.values() for p in t.split()}
+    editor = SpeechEditor(model, variables, cfg.frontend, conv,
+                          lexicon=lexicon)
+    ds = A3TDataset(eval_dir, conv)
+    aligner = FileAlignmentSource(eval_dir)
+    # hop 200 @ 16 kHz = 12.5 ms frame shift
+    mcd_cfg = MCDConfig(shiftms=1000.0 * cfg.frontend.hop_length
+                        / cfg.frontend.fs)
+
+    out_dir = os.path.join(workdir, "mcd_out")
+    uids = ds.uids[: args.eval_utts] if args.eval_utts else ds.uids
+    result = run_gate(editor, texts, ds, aligner, uids, out_dir,
+                      mcd_config=mcd_cfg)
+    print(f"   MCD over {result['n']} held-out utts: "
+          f"{result['mean_mcd']:.2f} dB "
+          f"(vocoder ceiling {result['vocoder_ceiling_mcd']:.2f} dB)",
+          flush=True)
+    with open(os.path.join(workdir, "soak_mcd.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    # edit + prompt demos on the first eval utterance
+    uid = ds.uids[0]
+    wav, words = ds[uid]["audio"], texts[uid].split()
+    masked = " ".join(words[:2] + ["[MASK]"] + words[5:])
+    res = editor.reconstruct_masked_span(wav, aligner(uid), texts[uid],
+                                         masked)
+    write_wav(os.path.join(workdir, f"{uid}_edited.wav"), FS,
+              res.origin_replaced)
+    print(f"   edit demo: {uid}_edited.wav "
+          f"(span frames {res.old_span_boundary})", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/a3t_soak")
+    ap.add_argument("--stage", type=int, default=1)
+    ap.add_argument("--stop-stage", type=int, default=5)
+    ap.add_argument("--n-utts", type=int, default=4000)
+    ap.add_argument("--n-speakers", type=int, default=8)
+    ap.add_argument("--align-utts", type=int, default=600)
+    ap.add_argument("--align-mixtures", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--iters-per-epoch", type=int, default=100)
+    ap.add_argument("--warmup-steps", type=int, default=2000)
+    ap.add_argument("--batch-bins", type=int, default=3000000)
+    ap.add_argument("--eval-utts", type=int, default=24,
+                    help="cap stage-5 MCD utterances (0 = all; the MCD "
+                         "extraction is CPU-bound)")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    train_dir = os.path.join(args.workdir, "data", "train")
+    eval_dir = os.path.join(args.workdir, "data", "eval")
+    records_dir = os.path.join(args.workdir, "records")
+    exp = os.path.join(args.workdir, "exp")
+
+    def in_range(n):
+        return args.stage <= n <= args.stop_stage
+
+    if in_range(1):
+        stage1_data(args, train_dir, eval_dir)
+    if in_range(2):
+        stage2_align(args, train_dir, args.workdir)
+    if in_range(3):
+        stage3_pack(args, train_dir, records_dir)
+    if in_range(4):
+        stage4_train(args, records_dir, eval_dir, args.workdir, exp)
+    if in_range(5):
+        stage5_eval(args, train_dir, eval_dir, args.workdir, exp)
+
+
+if __name__ == "__main__":
+    main()
