@@ -58,6 +58,10 @@ class BatcherConfig:
     # (native/loader); falls back to python decoding if the build fails
     use_native_loader: bool = True
     loader_threads: int = 4
+    # ship audio to the device as int16 PCM (half the host->device bytes;
+    # lossless for PCM16-sourced corpora — wavs and record shards both
+    # are).  featurize() converts to float on device.
+    audio_int16: bool = True
 
 
 class BucketBatcher:
@@ -236,6 +240,12 @@ class BucketBatcher:
 
         # empty slots (batch padding): leave zeros; text_mask all False keeps
         # them out of attention, masked=False keeps them out of the loss.
+        if cfg.audio_int16:
+            # round-to-nearest x32768: exact inverse of the /32768 decode
+            # convention (fileio.read_wav, native loader, records) — the
+            # int16 codes of PCM16-sourced audio round-trip bit-exactly
+            audio = np.clip(np.rint(audio * 32768.0), -32768,
+                            32767).astype(np.int16)
         out = dict(
             audio=audio,
             audio_lengths=audio_lengths,

@@ -58,8 +58,10 @@ def pack_records(
     cur = _open_shard(0)
     for uid in dataset.uids:
         item = dataset[uid]
-        audio = np.clip(item["audio"], -1.0, 1.0)
-        pcm = (audio * 32767.0).astype("<i2")
+        # round-to-nearest x32768 (the /32768 decode inverse): PCM16-sourced
+        # audio keeps its exact int16 codes through the pack
+        pcm = np.clip(np.rint(item["audio"] * 32768.0), -32768,
+                      32767).astype("<i2")
         if fs is None:
             fs = int(item["fs"])
         elif int(item["fs"]) != fs:

@@ -87,6 +87,9 @@ class MultiHeadedAttention(nn.Module):
         scores = jnp.einsum("bthd,bshd->bhts", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(d_k)
         attn = apply_attn_mask(scores, mask)
+        # free unless the caller makes "intermediates" mutable (the
+        # attention-plot path, train/plots.py)
+        self.sow("intermediates", "attn", attn)
         attn = SeededDropout(self.dropout_rate)(attn, deterministic=deterministic)
         out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], d_model)
@@ -177,6 +180,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
                                preferred_element_type=jnp.float32)
         scores = (matrix_ac + matrix_bd) / np.sqrt(d_k)
         attn = apply_attn_mask(scores, mask)
+        # free unless the caller makes "intermediates" mutable (the
+        # attention-plot path, train/plots.py)
+        self.sow("intermediates", "attn", attn)
         if self.dtype is not None:
             # softmax stays fp32; the big (B,H,T,T) prob tensor is stored,
             # dropout-masked and PV-multiplied at compute precision

@@ -232,11 +232,32 @@ class MLMTask:
 
         plot_fn = None
         if cfg.num_plot_examples > 0 and valid_batcher is not None:
-            plot_fn = make_mel_plot_fn(
-                model, fe, normalizer,
-                next(iter(valid_factory(0))),
-                os.path.join(cfg.exp_dir, "plots"),
+            plot_batch = next(iter(valid_factory(0)))
+            plot_dir = os.path.join(cfg.exp_dir, "plots")
+            mel_fn = make_mel_plot_fn(
+                model, fe, normalizer, plot_batch, plot_dir,
                 n_examples=cfg.num_plot_examples)
+            # attention maps need the XLA path (the fused kernels never
+            # materialize probabilities): same params, kernels disabled
+            from a3t_tpu.train.plots import make_attention_plot_fn
+
+            plot_model = A3TMLMModel(dataclasses.replace(
+                model.config,
+                encoder=dataclasses.replace(
+                    model.config.encoder, use_flash_attention=False,
+                    use_pallas_attention=False),
+                decoder=dataclasses.replace(
+                    model.config.decoder, use_flash_attention=False,
+                    use_pallas_attention=False)
+                if model.config.decoder is not None else None,
+            ))
+            att_fn = make_attention_plot_fn(
+                plot_model, fe, normalizer, plot_batch, plot_dir,
+                n_examples=cfg.num_plot_examples)
+
+            def plot_fn(state, epoch, _fns=(mel_fn, att_fn)):
+                for f in _fns:
+                    f(state, epoch)
 
         trainer = Trainer(
             cfg.trainer,

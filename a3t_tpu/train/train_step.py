@@ -77,14 +77,19 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
     linear spectrum in HBM.  ``use_fused=False`` is the rfft reference
     path.
     """
+    audio = batch["audio"]
+    if audio.dtype == jnp.int16:
+        # int16 PCM shipped over the host->device link (half the bytes,
+        # data/batcher.py audio_int16); dequantize on device
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     if use_pallas:
         from a3t_tpu.ops import fused_logmel
 
         feats, flens = fused_logmel(
-            batch["audio"], frontend.config, batch["audio_lengths"])
+            audio, frontend.config, batch["audio_lengths"])
     else:
         fe = frontend.fused if use_fused else frontend
-        feats, flens = fe(batch["audio"], batch["audio_lengths"])
+        feats, flens = fe(audio, batch["audio_lengths"])
     if normalizer is not None:
         feats = normalizer(feats)
     n_f = feats.shape[1]
