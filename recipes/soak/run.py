@@ -15,7 +15,9 @@ Stages (reference run.sh / mlm.sh analogue):
   2  native forced alignment + boundary-error eval vs oracle
   3  pack record shards
   4  train (resumable; bound wall-clock with --epochs)
-  5  eval: middle-third MCD + speech-edit / prompt-TTS demos
+  5  eval: middle-third MCD protocol on held-out utterances
+  6  train the FastSpeech2 duration model on the same corpus
+  7  text-replacement edit + prompt-TTS demos with FS2-predicted durations
 
 Run:  python recipes/soak/run.py --workdir /tmp/a3t_soak \
           [--stage 1 --stop-stage 5] [--n-utts 4000] [--epochs 200]
@@ -216,11 +218,89 @@ def stage5_eval(args, train_dir, eval_dir, workdir, exp):
           f"(span frames {res.old_span_boundary})", flush=True)
 
 
+def stage6_fs2(args, train_dir, workdir):
+    """Train the FastSpeech2 duration predictor on the soak corpus (the
+    reference's pretrained-FS2 role in editing, sedit_inference.py:398-424)."""
+    from a3t_tpu.dsp import LogMelConfig
+    from a3t_tpu.models.fastspeech2 import (
+        FastSpeech2Config, transformer_stack_config)
+    from a3t_tpu.tasks.fs2 import FS2BatcherConfig, FS2Task, FS2TaskConfig
+    from a3t_tpu.train import OptimConfig, TrainerConfig
+
+    print("== stage 6: FastSpeech2 duration-model training ==", flush=True)
+    stack = transformer_stack_config(adim=256, aheads=2, layers=4,
+                                     units=1024, dropout=0.2)
+    cfg = FS2TaskConfig(
+        train_data_dir=train_dir,
+        exp_dir=os.path.join(workdir, "exp_fs2"),
+        frontend=LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
+                              win_length=800, n_mels=80, fmin=80.0,
+                              fmax=7600.0),
+        model=FastSpeech2Config(adim=256, encoder=stack, decoder=stack,
+                                postnet_layers=2, max_feat_len=448),
+        batcher=FS2BatcherConfig(batch_size=32, max_feat_len=448),
+        optim=OptimConfig(model_size=256, warmup_steps=1000),
+        trainer=TrainerConfig(
+            max_epoch=args.fs2_epochs, num_iters_per_epoch=50,
+            keep_nbest_models=2, log_interval=50,
+            best_model_criterion=("train", "loss", "min"), resume=True),
+    )
+    FS2Task.run(cfg)
+
+
+def stage7_edit_demo(args, eval_dir, workdir, exp):
+    """Text-replacement editing + prompt TTS with FS2-*predicted* durations
+    (the published editing-quality path) on the trained soak models."""
+    import numpy as np
+
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.data.fileio import read_2column_text, write_wav
+    from a3t_tpu.inference import FileAlignmentSource, SpeechEditor
+    from a3t_tpu.inference.durations import load_duration_fn
+    from a3t_tpu.tasks import MLMTask
+
+    print("== stage 7: trained-duration edit + prompt demos ==", flush=True)
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
+    texts = read_2column_text(os.path.join(eval_dir, "text"))
+    lexicon = {p.upper(): [p] for t in texts.values() for p in t.split()}
+    duration_fn = load_duration_fn(os.path.join(workdir, "exp_fs2"))
+    editor = SpeechEditor(model, variables, cfg.frontend, conv,
+                          lexicon=lexicon, duration_fn=duration_fn)
+    ds = A3TDataset(eval_dir, conv)
+    aligner = FileAlignmentSource(eval_dir)
+    out_dir = os.path.join(workdir, "demo")
+    os.makedirs(out_dir, exist_ok=True)
+
+    uid = ds.uids[0]
+    wav, words = ds[uid]["audio"], texts[uid].split()
+    # replace two middle phones with three different ones
+    mid = len(words) // 2
+    repl = ["AA", "S", "OW"]
+    new_text = " ".join(words[: mid] + repl + words[mid + 2:])
+    res = editor.edit(wav, aligner(uid), texts[uid], new_text)
+    write_wav(os.path.join(out_dir, f"{uid}_replaced.wav"), FS,
+              res.origin_replaced)
+    rep = {"uid": uid, "old": texts[uid], "new": new_text,
+           "old_span_frames": [int(x) for x in res.old_span_boundary],
+           "new_span_frames": [int(x) for x in res.new_span_boundary]}
+    print(f"   edit: {rep}", flush=True)
+
+    prompt_words = words[: max(3, len(words) // 3)]
+    full = " ".join(prompt_words + ["IY", "M", "AO", "S", "EH"])
+    out = editor.prompt_tts(wav, aligner(uid), " ".join(prompt_words), full)
+    write_wav(os.path.join(out_dir, f"{uid}_prompt.wav"), FS, out["full"])
+    rep["prompt_out_sec"] = round(len(out["full"]) / FS, 2)
+    print(f"   prompt-TTS: {rep['prompt_out_sec']} s", flush=True)
+    with open(os.path.join(out_dir, "demo.json"), "w") as f:
+        json.dump(rep, f, indent=1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/a3t_soak")
     ap.add_argument("--stage", type=int, default=1)
     ap.add_argument("--stop-stage", type=int, default=5)
+    ap.add_argument("--fs2-epochs", type=int, default=40)
     ap.add_argument("--n-utts", type=int, default=4000)
     ap.add_argument("--n-speakers", type=int, default=8)
     ap.add_argument("--align-utts", type=int, default=600)
@@ -253,6 +333,10 @@ def main():
         stage4_train(args, records_dir, eval_dir, args.workdir, exp)
     if in_range(5):
         stage5_eval(args, train_dir, eval_dir, args.workdir, exp)
+    if in_range(6):
+        stage6_fs2(args, train_dir, args.workdir)
+    if in_range(7):
+        stage7_edit_demo(args, eval_dir, args.workdir, exp)
 
 
 if __name__ == "__main__":
