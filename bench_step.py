@@ -42,6 +42,21 @@ def build(variant: str):
     dec_kw: dict = dict(cnn_module_kernel=31, compute_dtype="bfloat16")
     model_kw: dict = {}
     precompute_feats = False
+    # production 24 kHz shape unless a variant overrides
+    fe_kw: dict = {}
+    hop, n_frames, batch_size = HOP, N_FRAMES, BATCH
+    if variant in ("longformer", "longformer_chunked"):
+        # long-audio path: 16 kHz front-end (tasks/mlm.py:544-548),
+        # T=4096-frame utterances, same 3e6-numel budget -> batch 9;
+        # banded Pallas kernel vs XLA chunked einsum
+        fe_kw = dict(fs=16000, n_fft=1024, hop_length=200, win_length=800)
+        hop, n_frames, batch_size = 200, 4096, 9
+        for kw in (enc_kw, dec_kw):
+            kw["selfattention_layer_type"] = "longformer"
+            kw["attention_window"] = 256
+            # banded kernel is exact-softmax: attention dropout inactive
+            kw["attention_dropout_rate"] = 0.0
+            kw["use_pallas_attention"] = variant == "longformer"
     if variant == "fp32":
         enc_kw["compute_dtype"] = dec_kw["compute_dtype"] = "float32"
     if variant == "xla_attn":
@@ -82,7 +97,7 @@ def build(variant: str):
                 kw["dropout_rate"] = 0.0
                 kw["positional_dropout_rate"] = 0.0
 
-    fe = LogMelFrontend(LogMelConfig())
+    fe = LogMelFrontend(LogMelConfig(**fe_kw))
     model = A3TMLMModel(A3TModelConfig(
         vocab_size=80, encoder=EncoderConfig(**enc_kw),
         decoder=EncoderConfig(**dec_kw), **model_kw))
@@ -90,8 +105,8 @@ def build(variant: str):
 
     rng = np.random.default_rng(0)
     host_batch = make_synthetic_batch(
-        rng, batch_size=BATCH, n_samples=HOP * (N_FRAMES - 1), n_text=64,
-        hop_length=HOP, vocab_size=80)
+        rng, batch_size=batch_size, n_samples=hop * (n_frames - 1),
+        n_text=64, hop_length=hop, vocab_size=80, fs=fe.config.fs)
     batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
     small = {k: v[:2] for k, v in batch.items()}
     state = create_train_state(
@@ -114,14 +129,14 @@ def build(variant: str):
         st, _ = jax.lax.fori_loop(0, REPEAT, body, (state, key))
         return st
 
-    return state, batch, run_n
+    return state, batch, run_n, batch_size * n_frames
 
 
-def measure(variant: str, reps: int = 3) -> float:
+def measure(variant: str, reps: int = 3) -> tuple:
     import jax
     import jax.numpy as jnp
 
-    state, batch, run_n = build(variant)
+    state, batch, run_n, frames = build(variant)
     key = jax.random.PRNGKey(0)
     # warmup/compile
     st = run_n(state, batch, key)
@@ -132,7 +147,7 @@ def measure(variant: str, reps: int = 3) -> float:
         st = run_n(state, batch, key)
         _ = float(jnp.asarray(st.step))
         times.append((time.perf_counter() - t0) / REPEAT * 1e3)
-    return min(times)
+    return min(times), frames
 
 
 def main():
@@ -143,17 +158,22 @@ def main():
                              "linear_ffn", "nopostnet", "fp32"])
     args = ap.parse_args()
 
-    frames = BATCH * N_FRAMES
+    import os
+
+    # merge into the existing table so partial runs don't clobber it
+    path = "docs/STEP_BENCH.json"
     report = {"batch": BATCH, "n_frames": N_FRAMES, "repeat": REPEAT}
+    if os.path.exists(path):
+        with open(path) as f:
+            report.update(json.load(f))
     for v in args.variants:
-        ms = measure(v)
+        ms, frames = measure(v)
         report[v] = {"ms_per_step": round(ms, 1),
                      "frames_per_s": round(frames / (ms / 1e3))}
         print(v, json.dumps(report[v]), flush=True)
-    import os
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/STEP_BENCH.json", "w") as f:
+    with open(path, "w") as f:
         json.dump(report, f, indent=1)
 
 

@@ -243,3 +243,39 @@ def test_native_loader_matches_python(corpus, converter, rng):
                                   b2["audio_lengths"] // fe.hop_length)
     np.testing.assert_array_equal(b1["masked_position"], b2["masked_position"])
     np.testing.assert_array_equal(b1["text"], b2["text"])
+
+
+def test_int16_audio_roundtrip_and_featurize(corpus, converter):
+    """audio_int16 batches carry the exact PCM codes and featurize to the
+    same mels as the float path (the codes round-trip through /32768)."""
+    import jax.numpy as jnp
+
+    from a3t_tpu.dsp import LogMelFrontend
+    from a3t_tpu.train.train_step import featurize
+
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    ds = A3TDataset(corpus, converter)
+    kw = dict(batch_bins=20 * 64 * 4, bucket_frames=(64, 128, 256),
+              mlm_prob_factor=1.0)
+    b_i16 = BucketBatcher(ds, fe, BatcherConfig(audio_int16=True, **kw))
+    b_f32 = BucketBatcher(ds, fe, BatcherConfig(audio_int16=False, **kw))
+
+    bi, uids = b_i16.batch_plan(epoch=1)[0]
+    rng = np.random.default_rng(0)
+    x16 = b_i16.make_batch(bi, uids, rng)
+    rng = np.random.default_rng(0)
+    x32 = b_f32.make_batch(bi, uids, rng)
+
+    assert x16["audio"].dtype == np.int16
+    # dequantized int16 reproduces the float audio exactly (PCM16 source)
+    np.testing.assert_array_equal(
+        x16["audio"].astype(np.float32) / 32768.0, x32["audio"])
+
+    front = LogMelFrontend(fe)
+    m16 = featurize(front, {k: jnp.asarray(v) for k, v in x16.items()},
+                    use_fused=False)
+    m32 = featurize(front, {k: jnp.asarray(v) for k, v in x32.items()},
+                    use_fused=False)
+    np.testing.assert_array_equal(np.asarray(m16["speech"]),
+                                  np.asarray(m32["speech"]))
