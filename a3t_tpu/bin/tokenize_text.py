@@ -74,7 +74,7 @@ def main(argv=None):
     sl = field_slice(args.field) if args.field else None
 
     counter: Counter = Counter()
-    with fin:
+    try:
         for raw in fin:
             cols = raw.rstrip("\n").split()
             if sl is not None:
@@ -85,6 +85,9 @@ def main(argv=None):
                 counter.update(toks)
             else:
                 print(" ".join(toks), file=fout)
+    finally:
+        if fin is not sys.stdin:
+            fin.close()
     if not args.write_vocabulary:
         if fout is not sys.stdout:
             fout.close()
@@ -103,17 +106,26 @@ def main(argv=None):
     if args.vocabulary_size > 0:
         ranked = ranked[: args.vocabulary_size]
 
-    out: list = [(t, c) for t, c in ranked]
-    for sym, pos in sorted(specials, key=lambda x: x[1] if x[1] >= 0 else
-                           10 ** 9 + x[1]):
-        idx = pos if pos >= 0 else len(out) + 1 + pos
-        out.insert(idx, (sym, None))
-    with fout:
+    # resolve every pinned position against the FINAL length, then fill
+    # the remaining slots with the ranked tokens in order
+    total = len(ranked) + len(specials)
+    out: list = [None] * total
+    for sym, pos in specials:
+        idx = pos if pos >= 0 else total + pos
+        if not 0 <= idx < total or out[idx] is not None:
+            raise ValueError(f"--add-symbol position clash at {idx}")
+        out[idx] = (sym, None)
+    it = iter(ranked)
+    out = [slot if slot is not None else next(it) for slot in out]
+    try:
         for tok, cnt in out:
             if args.write_counts and cnt is not None:
                 print(f"{tok} {cnt}", file=fout)
             else:
                 print(tok, file=fout)
+    finally:
+        if fout is not sys.stdout:
+            fout.close()
 
 
 if __name__ == "__main__":

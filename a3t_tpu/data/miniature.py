@@ -107,7 +107,7 @@ def _formant_envelope(freqs, formants, scale):
     return (env + 1e-3) * tilt
 
 
-def _voiced_segment(f0, fs, formants, scale, n, rng):
+def _voiced_segment(f0, fs, formants, scale):
     """Additive harmonics with formant-shaped amplitudes; f0 is per-sample."""
     phase0 = 2.0 * np.pi * np.cumsum(f0) / fs
     nyq = min(fs / 2.0 - 200.0, 5000.0)
@@ -137,15 +137,26 @@ def generate_speechlike_corpus(
     n_phones_range: tuple[int, int] = (8, 24),
     phone_dur_range: tuple[float, float] = (0.06, 0.22),
     seed: int = 0,
+    speaker_seed: int | None = None,
 ) -> str:
     """Write a formant-synthesized multi-speaker data dir (same layout as
-    ``generate_mini_corpus``: wav.scp/text/mfa_start/mfa_end/utt2spk)."""
+    ``generate_mini_corpus``: wav.scp/text/mfa_start/mfa_end/utt2spk).
+
+    ``speaker_seed`` derives the per-speaker F0/vocal-tract parameters
+    independently of the utterance stream, so a held-out split can share
+    the training speaker pool (same speaker_seed, different seed) or use
+    entirely unseen speakers (different speaker_seed) — the two halves of
+    the reference's seen+unseen MCD protocol (sedit_mcd.py:58-75).
+    Defaults to ``seed`` (legacy behavior: speakers follow the corpus
+    seed)."""
     rng = np.random.default_rng(seed)
+    spk_rng = np.random.default_rng(
+        seed if speaker_seed is None else speaker_seed)
     wav_dir = os.path.join(out_dir, "wav")
     os.makedirs(wav_dir, exist_ok=True)
 
-    spk_f0 = rng.uniform(85.0, 235.0, n_speakers)
-    spk_scale = rng.uniform(0.85, 1.2, n_speakers)
+    spk_f0 = spk_rng.uniform(85.0, 235.0, n_speakers)
+    spk_scale = spk_rng.uniform(0.85, 1.2, n_speakers)
 
     wav_scp, text, utt2spk = {}, {}, {}
     starts, ends = {}, {}
@@ -174,12 +185,12 @@ def generate_speechlike_corpus(
                 continue
             if p in _VOWELS or p in _NASALS:
                 fmts = _VOWELS.get(p) or _NASALS[p]
-                seg = _voiced_segment(
-                    f0_track[s:e], fs, fmts, spk_scale[spk], n, rng)
+                seg = _voiced_segment(f0_track[s:e], fs, fmts,
+                                      spk_scale[spk])
                 if p in _NASALS:  # damp above F1: nasal murmur
                     seg = 0.6 * seg + 0.4 * _voiced_segment(
                         f0_track[s:e], fs, (fmts[0], fmts[0], fmts[0]),
-                        spk_scale[spk], n, rng)
+                        spk_scale[spk])
                 amp = 0.35
             elif p in _FRICATIVES:
                 seg = _noise_segment(_FRICATIVES[p], fs, n, rng,

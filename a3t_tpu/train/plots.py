@@ -85,7 +85,9 @@ def make_attention_plot_fn(model, frontend, normalizer, host_batch,
     "intermediates" collection is mutable."""
     from a3t_tpu.train.train_step import featurize
 
-    batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+    # only the first n_examples are plotted — slice BEFORE the forward so
+    # the sown (B, H, T, T) probability tensors stay small
+    batch = {k: jnp.asarray(v[:n_examples]) for k, v in host_batch.items()}
 
     @jax.jit
     def forward(params, batch_stats):
@@ -97,6 +99,8 @@ def make_attention_plot_fn(model, frontend, normalizer, host_batch,
         return inter["intermediates"]
 
     def plot_fn(state, epoch: int):
+        import logging
+
         import matplotlib
 
         matplotlib.use("Agg")
@@ -105,6 +109,12 @@ def make_attention_plot_fn(model, frontend, normalizer, host_batch,
         entries = _attn_entries(
             jax.tree.map(np.asarray, forward(state.params,
                                              state.batch_stats)))
+        if not entries:
+            # e.g. longformer configs: WindowedSelfAttention materializes
+            # no probabilities to sow
+            logging.getLogger("a3t_tpu").info(
+                "no attention probabilities sown; skipping attention plots")
+            return
         os.makedirs(out_dir, exist_ok=True)
         for i in range(min(n_examples, batch["text"].shape[0])):
             n_l = len(entries)

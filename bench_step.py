@@ -129,14 +129,14 @@ def build(variant: str):
         st, _ = jax.lax.fori_loop(0, REPEAT, body, (state, key))
         return st
 
-    return state, batch, run_n, batch_size * n_frames
+    return state, batch, run_n, (batch_size, n_frames)
 
 
 def measure(variant: str, reps: int = 3) -> tuple:
     import jax
     import jax.numpy as jnp
 
-    state, batch, run_n, frames = build(variant)
+    state, batch, run_n, shape = build(variant)
     key = jax.random.PRNGKey(0)
     # warmup/compile
     st = run_n(state, batch, key)
@@ -147,7 +147,7 @@ def measure(variant: str, reps: int = 3) -> tuple:
         st = run_n(state, batch, key)
         _ = float(jnp.asarray(st.step))
         times.append((time.perf_counter() - t0) / REPEAT * 1e3)
-    return min(times), frames
+    return min(times), shape
 
 
 def main():
@@ -167,9 +167,12 @@ def main():
         with open(path) as f:
             report.update(json.load(f))
     for v in args.variants:
-        ms, frames = measure(v)
+        ms, (bsz, n_frames) = measure(v)
         report[v] = {"ms_per_step": round(ms, 1),
-                     "frames_per_s": round(frames / (ms / 1e3))}
+                     "frames_per_s": round(bsz * n_frames / (ms / 1e3))}
+        if (bsz, n_frames) != (BATCH, N_FRAMES):
+            report[v]["batch"] = bsz
+            report[v]["n_frames"] = n_frames
         print(v, json.dumps(report[v]), flush=True)
 
     os.makedirs("docs", exist_ok=True)

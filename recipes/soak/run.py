@@ -37,20 +37,29 @@ FS = 16000
 N_EVAL = 48
 
 
-def stage1_data(args, train_dir, eval_dir):
+def stage1_data(args, train_dir, eval_seen_dir, eval_unseen_dir):
     from a3t_tpu.data.miniature import generate_speechlike_corpus
 
     print("== stage 1: corpus synthesis ==", flush=True)
     t0 = time.time()
     generate_speechlike_corpus(
         train_dir, n_utts=args.n_utts, n_speakers=args.n_speakers, fs=FS,
-        seed=0)
-    # held-out utterances from the same speaker pool (same seed-derived
-    # speaker params: seed controls speakers first, so re-seeding changes
-    # utterances; use a disjoint id range instead)
+        seed=0, speaker_seed=0)
+    # fresh oracle boundaries: invalidate any backup from a previous run
+    for f in ("mfa_start.oracle", "mfa_end.oracle"):
+        stale = os.path.join(train_dir, f)
+        if os.path.exists(stale):
+            os.remove(stale)
+    # the reference MCD protocol evaluates seen AND unseen speakers
+    # (sedit_mcd.py:58-75): held-out utterances from the training speaker
+    # pool (same speaker_seed), and utterances from brand-new speakers
     generate_speechlike_corpus(
-        eval_dir, n_utts=N_EVAL, n_speakers=args.n_speakers, fs=FS, seed=1)
-    print(f"   synthesized {args.n_utts}+{N_EVAL} utts "
+        eval_seen_dir, n_utts=N_EVAL, n_speakers=args.n_speakers, fs=FS,
+        seed=1, speaker_seed=0)
+    generate_speechlike_corpus(
+        eval_unseen_dir, n_utts=N_EVAL, n_speakers=args.n_speakers, fs=FS,
+        seed=2, speaker_seed=99)
+    print(f"   synthesized {args.n_utts}+{N_EVAL}+{N_EVAL} utts "
           f"in {time.time() - t0:.0f}s", flush=True)
 
 
@@ -175,7 +184,7 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp):
     train_main(["--config", conf_path])
 
 
-def stage5_eval(args, train_dir, eval_dir, workdir, exp):
+def stage5_eval(args, eval_dirs, workdir, exp):
     from a3t_tpu.bin.mcd_gate import run_gate
     from a3t_tpu.data.dataset import A3TDataset
     from a3t_tpu.data.fileio import read_2column_text, write_wav
@@ -185,28 +194,40 @@ def stage5_eval(args, train_dir, eval_dir, workdir, exp):
 
     print("== stage 5: evaluation ==", flush=True)
     model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
-    texts = read_2column_text(os.path.join(eval_dir, "text"))
-    lexicon = {p.upper(): [p] for t in texts.values() for p in t.split()}
-    editor = SpeechEditor(model, variables, cfg.frontend, conv,
-                          lexicon=lexicon)
-    ds = A3TDataset(eval_dir, conv)
-    aligner = FileAlignmentSource(eval_dir)
     # hop 200 @ 16 kHz = 12.5 ms frame shift
     mcd_cfg = MCDConfig(shiftms=1000.0 * cfg.frontend.hop_length
                         / cfg.frontend.fs)
 
-    out_dir = os.path.join(workdir, "mcd_out")
-    uids = ds.uids[: args.eval_utts] if args.eval_utts else ds.uids
-    result = run_gate(editor, texts, ds, aligner, uids, out_dir,
-                      mcd_config=mcd_cfg)
-    print(f"   MCD over {result['n']} held-out utts: "
-          f"{result['mean_mcd']:.2f} dB "
-          f"(vocoder ceiling {result['vocoder_ceiling_mcd']:.2f} dB)",
-          flush=True)
+    report = {}
+    for split, split_dir in eval_dirs.items():
+        texts = read_2column_text(os.path.join(split_dir, "text"))
+        lexicon = {p.upper(): [p] for t in texts.values()
+                   for p in t.split()}
+        editor = SpeechEditor(model, variables, cfg.frontend, conv,
+                              lexicon=lexicon)
+        ds = A3TDataset(split_dir, conv)
+        aligner = FileAlignmentSource(split_dir)
+        out_dir = os.path.join(workdir, "mcd_out", split)
+        uids = ds.uids[: args.eval_utts] if args.eval_utts else ds.uids
+        result = run_gate(editor, texts, ds, aligner, uids, out_dir,
+                          mcd_config=mcd_cfg)
+        report[split] = result
+        print(f"   MCD [{split}] over {result['n']} utts: "
+              f"{result['mean_mcd']:.2f} dB "
+              f"(vocoder ceiling {result['vocoder_ceiling_mcd']:.2f} dB)",
+              flush=True)
     with open(os.path.join(workdir, "soak_mcd.json"), "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(report, f, indent=1)
 
-    # edit + prompt demos on the first eval utterance
+    # edit demo on the first seen-split utterance
+    split_dir = next(iter(eval_dirs.values()))
+    texts = read_2column_text(os.path.join(split_dir, "text"))
+    ds = A3TDataset(split_dir, conv)
+    aligner = FileAlignmentSource(split_dir)
+    editor = SpeechEditor(
+        model, variables, cfg.frontend, conv,
+        lexicon={p.upper(): [p] for t in texts.values()
+                 for p in t.split()})
     uid = ds.uids[0]
     wav, words = ds[uid]["audio"], texts[uid].split()
     masked = " ".join(words[:2] + ["[MASK]"] + words[5:])
@@ -316,7 +337,8 @@ def main():
 
     os.makedirs(args.workdir, exist_ok=True)
     train_dir = os.path.join(args.workdir, "data", "train")
-    eval_dir = os.path.join(args.workdir, "data", "eval")
+    eval_seen = os.path.join(args.workdir, "data", "eval_seen")
+    eval_unseen = os.path.join(args.workdir, "data", "eval_unseen")
     records_dir = os.path.join(args.workdir, "records")
     exp = os.path.join(args.workdir, "exp")
 
@@ -324,19 +346,20 @@ def main():
         return args.stage <= n <= args.stop_stage
 
     if in_range(1):
-        stage1_data(args, train_dir, eval_dir)
+        stage1_data(args, train_dir, eval_seen, eval_unseen)
     if in_range(2):
         stage2_align(args, train_dir, args.workdir)
     if in_range(3):
         stage3_pack(args, train_dir, records_dir)
     if in_range(4):
-        stage4_train(args, records_dir, eval_dir, args.workdir, exp)
+        stage4_train(args, records_dir, eval_seen, args.workdir, exp)
     if in_range(5):
-        stage5_eval(args, train_dir, eval_dir, args.workdir, exp)
+        stage5_eval(args, {"seen": eval_seen, "unseen": eval_unseen},
+                    args.workdir, exp)
     if in_range(6):
         stage6_fs2(args, train_dir, args.workdir)
     if in_range(7):
-        stage7_edit_demo(args, eval_dir, args.workdir, exp)
+        stage7_edit_demo(args, eval_seen, args.workdir, exp)
 
 
 if __name__ == "__main__":

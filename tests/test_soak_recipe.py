@@ -52,7 +52,7 @@ def test_speechlike_phones_are_spectrally_distinct(tmp_path):
     rng = np.random.default_rng(0)
     fs, n = 16000, 4000
     f0 = np.full(n, 120.0, np.float32)
-    vowel = _voiced_segment(f0, fs, (270, 2290, 3010), 1.0, n, rng)
+    vowel = _voiced_segment(f0, fs, (270, 2290, 3010), 1.0)
     fric = _noise_segment((4000, 7800), fs, n, rng, 1.0)
 
     def centroid(x):

@@ -59,3 +59,27 @@ def test_tokenize_passthrough(tmp_path):
     out = tmp_path / "t.txt"
     main(["-i", str(src), "-o", str(out), "--field", "2-"])
     assert out.read_text().splitlines() == ["AA IY", "UW"]
+
+
+def test_multiple_negative_positions(tmp_path):
+    """Regression: several negative --add-symbol positions must all land
+    at their final-index slots."""
+    src = tmp_path / "text"
+    src.write_text("u1 X X Y\n")
+    out = tmp_path / "v.txt"
+    main(["-i", str(src), "-o", str(out), "--field", "2-",
+          "--write-vocabulary",
+          "--add-symbol", "<a>:-2", "--add-symbol", "<b>:-1"])
+    assert out.read_text().splitlines() == ["X", "Y", "<a>", "<b>"]
+
+
+def test_position_clash_rejected(tmp_path):
+    import pytest
+
+    src = tmp_path / "text"
+    src.write_text("u1 X\n")
+    with pytest.raises(ValueError):
+        # total length 3 -> position -3 resolves to 0, clashing with <a>:0
+        main(["-i", str(src), "-o", str(tmp_path / "v"), "--field", "2-",
+              "--write-vocabulary",
+              "--add-symbol", "<a>:0", "--add-symbol", "<b>:-3"])
