@@ -108,6 +108,31 @@ def test_cli_train_on_mini_corpus(tmp_path):
     before, after, _ = model.apply(variables, **mb, train=False)
     assert np.isfinite(np.asarray(before)).all()
 
+    # batch_decode CLI end-to-end on the trained exp (sedit_decode.py
+    # analogue): middle-third mask protocol + explicit-task line
+    import wave
+
+    from a3t_tpu.bin.batch_decode import main as decode_main
+    from a3t_tpu.data.fileio import read_2column_text
+
+    texts = read_2column_text(os.path.join(corpus, "text"))
+    uids = list(texts)[:2]
+    task_file = str(tmp_path / "tasks.txt")
+    with open(task_file, "w") as f:
+        f.write(f"{uids[0]}\n")  # blank text -> protocol mask
+        words = texts[uids[1]].split()
+        f.write(f"{uids[1]}|" + " ".join(
+            words[:1] + ["[MASK]"] + words[2:]) + "\n")
+    out_dir = str(tmp_path / "decoded")
+    decode_main(["--exp-dir", exp, "--data-dir", corpus,
+                 "--task-file", task_file, "--out-dir", out_dir])
+    for uid in uids:
+        for split in ("full", "replaced", "gt_span"):
+            p = os.path.join(out_dir, f"{uid}_{split}.wav")
+            assert os.path.exists(p), p
+            with wave.open(p) as w:
+                assert w.getnframes() > 0
+
 
 def test_cli_train_tts_variant(tmp_path):
     """duration_predictor_layers > 0 routes through the TTS train step."""
