@@ -55,3 +55,16 @@ def test_dry_run_prints(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 2
     assert "--coordinator h0:8476" in out[0]
+
+
+def test_stuck_rank_terminated_when_sibling_fails():
+    """The poll-all loop must tear down a rank stuck 'in a collective'
+    when another rank dies (a sequential wait would hang here)."""
+    import time
+
+    slow = [sys.executable, "-c", "import time; time.sleep(300)"]
+    bad = [sys.executable, "-c", "import sys; sys.exit(2)"]
+    t0 = time.time()
+    rc = run_commands([slow, bad])
+    assert rc == 2
+    assert time.time() - t0 < 60  # not the 300 s sleep
