@@ -34,19 +34,27 @@ def summarize_xspace(path: str, top: int = 30):
               [p.name for p in xspace.planes])
         return None
 
+    def is_container(name: str) -> bool:
+        # module/loop/launch rows double-count their children
+        return (name.startswith(("jit_", "%while", "%conditional"))
+                or name.isdigit())
+
     totals: dict = defaultdict(float)
     for plane in device_planes:
         ev_names = {i: m.name for i, m in plane.event_metadata.items()}
         for line in plane.lines:
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
+                if is_container(name):
+                    continue
                 totals[name] += ev.duration_ps / 1e9  # -> ms
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])
     total_ms = sum(totals.values())
     print(f"device planes: {[p.name for p in device_planes]}")
-    print(f"total device event time: {total_ms:.1f} ms (all steps in trace)")
+    print(f"total leaf-op device time: {total_ms:.1f} ms "
+          f"(all steps in trace)")
     for name, ms in ranked[:top]:
-        print(f"  {ms:10.2f} ms  {100 * ms / total_ms:5.1f}%  {name[:100]}")
+        print(f"  {ms:10.2f} ms  {100 * ms / total_ms:5.1f}%  {name[:110]}")
     return ranked
 
 
