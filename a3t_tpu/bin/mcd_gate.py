@@ -85,7 +85,12 @@ def build_editor(args):
         fe_cfg = task_cfg.frontend
 
     vocoder = None
-    if args.vocoder:
+    if args.vocoder and os.path.isdir(args.vocoder):
+        # a vocoder dir trained by a3t_tpu.train.vocoder (mel MVN baked in)
+        from a3t_tpu.train.vocoder import load_vocoder
+
+        vocoder = load_vocoder(args.vocoder)
+    elif args.vocoder:
         import jax
 
         from a3t_tpu.models.pwg import (

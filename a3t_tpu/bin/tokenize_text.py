@@ -104,7 +104,13 @@ def main(argv=None):
 
     ranked = [(t, c) for t, c in counter.most_common() if c > args.cutoff]
     if args.vocabulary_size > 0:
-        ranked = ranked[: args.vocabulary_size]
+        # the reference caps the FINAL list including --add-symbol entries
+        # (espnet2/bin/tokenize_text.py:146-149)
+        if args.vocabulary_size <= len(specials):
+            raise ValueError(
+                f"vocabulary_size {args.vocabulary_size} must exceed the "
+                f"{len(specials)} --add-symbol entries")
+        ranked = ranked[: args.vocabulary_size - len(specials)]
 
     # resolve every pinned position against the FINAL length, then fill
     # the remaining slots with the ranked tokens in order

@@ -62,19 +62,32 @@ def _apply(x, keep, rate: float):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def seeded_dropout(x, key, rate: float):
+def _seeded_dropout(x, key, rate: float):
     return _apply(x, _keep_mask(key, rate, x.shape), rate)
 
 
 def _fwd(x, key, rate):
-    return seeded_dropout(x, key, rate), key
+    return _seeded_dropout(x, key, rate), key
 
 
 def _bwd(rate, key, g):
     return _apply(g, _keep_mask(key, rate, g.shape), rate), None
 
 
-seeded_dropout.defvjp(_fwd, _bwd)
+_seeded_dropout.defvjp(_fwd, _bwd)
+
+
+def seeded_dropout(x, key, rate: float):
+    """Unbiased u8 dropout; identity when the rate is below the u8 grain.
+
+    The u8 threshold quantizes keep probability to n/256 with a floor of
+    1/256 dropped — a direct call with rate 0 (or any rate < 1/512, which
+    rounds to that floor) must be the identity instead of silently dropping
+    1/256 of elements.
+    """
+    if rate <= 1.0 / 512.0:
+        return x
+    return _seeded_dropout(x, key, rate)
 
 
 class SeededDropout(nn.Module):

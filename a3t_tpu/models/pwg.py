@@ -153,6 +153,37 @@ class ParallelWaveGANGenerator(nn.Module):
         return x[..., 0]
 
 
+class PWGDiscriminator(nn.Module):
+    """Non-causal dilated-conv waveform discriminator.
+
+    Re-expression of the reference ParallelWaveGANDiscriminator
+    (espnet2/gan_tts/parallel_wavegan/parallel_wavegan.py:232-327): ten
+    kernel-3 conv layers with linearly growing dilation (1,1,2,3,...,9),
+    LeakyReLU(0.2) between, final layer 1-channel with no nonlinearity.
+    Used only during vocoder training (LSGAN objective); inference never
+    touches it.
+    """
+
+    layers: int = 10
+    conv_channels: int = 64
+    kernel_size: int = 3
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):
+        """wav (B, S) -> per-sample logits (B, S)."""
+        h = x[..., None]
+        for i in range(self.layers - 1):
+            dilation = i if i > 0 else 1
+            h = nn.Conv(self.conv_channels, (self.kernel_size,),
+                        kernel_dilation=dilation, padding="SAME",
+                        kernel_init=kaiming, name=f"conv_{i}")(h)
+            h = nn.leaky_relu(h, self.negative_slope)
+        h = nn.Conv(1, (self.kernel_size,), padding="SAME",
+                    kernel_init=kaiming, name="conv_out")(h)
+        return h[..., 0]
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint import (weight-norm folding)
 # ---------------------------------------------------------------------------

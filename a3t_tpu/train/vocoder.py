@@ -1,0 +1,356 @@
+"""Neural vocoder training: PWG generator, multi-res STFT loss, LSGAN.
+
+The reference never trains a vocoder in-repo — it downloads pretrained
+``parallel_wavegan`` package checkpoints by tag (sedit_inference.py:339-348)
+— but it ships the full model machinery under ``espnet2/gan_tts/``:
+generator + discriminator (parallel_wavegan/parallel_wavegan.py:26-327) and
+the multi-resolution STFT + LSGAN objectives those published checkpoints
+were trained with.  This module provides the TPU-native training loop for
+that machinery so a corpus without a published vocoder tag (e.g. the soak
+corpus) gets a real neural vocoder instead of the Griffin-Lim fallback.
+
+Design notes (TPU-first):
+
+* The whole step — noise sampling, generator convs, three STFT losses,
+  discriminator, both optimizers — is one jitted function; the host only
+  assembles fixed-shape crop batches (numpy slicing of an in-memory corpus).
+* Mel conditioning is GlobalMVN-normalized with corpus statistics that are
+  stored inside the checkpoint, so inference consumes the acoustic model's
+  raw log10-mel directly.
+* Crops are frame-aligned: mel frames [f0, f0+F) pair with samples
+  [f0*hop, (f0+F)*hop) of the same utterance — the centered-STFT pairing the
+  upstream trainer uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import orbax.checkpoint as ocp
+
+from a3t_tpu.dsp.frontend import LogMelConfig, LogMelFrontend
+from a3t_tpu.dsp.stft import stft as _stft
+from a3t_tpu.models.pwg import (
+    ParallelWaveGANGenerator,
+    PWGConfig,
+    PWGDiscriminator,
+)
+
+# (n_fft, hop, win) triples of the upstream MultiResolutionSTFTLoss defaults
+# (parallel_wavegan package stft_loss.py; the published vocoder tags'
+# training objective).
+STFT_RESOLUTIONS: tuple = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+
+def upsample_scales_for_hop(hop: int) -> tuple:
+    """Factor ``hop`` into 3-5 upsample scales (largest first)."""
+    scales, h = [], hop
+    for p in (5, 5, 4, 4, 3, 3, 2, 2):
+        if h % p == 0 and h != p:
+            scales.append(p)
+            h //= p
+    if h != 1:
+        scales.append(h)
+    if int(np.prod(scales)) != hop:
+        raise ValueError(f"cannot factor hop {hop} into upsample scales")
+    return tuple(scales)
+
+
+def spectral_losses(wav_hat: jnp.ndarray, wav: jnp.ndarray,
+                    resolutions: Sequence[tuple] = STFT_RESOLUTIONS):
+    """Multi-resolution STFT loss (upstream stft_loss.py semantics).
+
+    Returns (spectral_convergence, log_magnitude_l1), each averaged over
+    the resolution set.
+    """
+    sc_total, mag_total = 0.0, 0.0
+    for n_fft, hop, win in resolutions:
+        m_hat = jnp.abs(_stft(wav_hat, n_fft, hop, win))
+        m_ref = jnp.abs(_stft(wav, n_fft, hop, win))
+        m_hat = jnp.sqrt(jnp.maximum(m_hat * m_hat, 1e-7))
+        m_ref = jnp.sqrt(jnp.maximum(m_ref * m_ref, 1e-7))
+        sc_total += jnp.linalg.norm(m_ref - m_hat) / jnp.linalg.norm(m_ref)
+        mag_total += jnp.mean(jnp.abs(jnp.log(m_ref) - jnp.log(m_hat)))
+    n = float(len(resolutions))
+    return sc_total / n, mag_total / n
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderTrainConfig:
+    batch_size: int = 8
+    crop_frames: int = 96           # 96 frames * hop 200 = 19200 samples
+    total_steps: int = 50000
+    # adversarial phase: discriminator joins after the spectral losses have
+    # shaped the generator (upstream: discriminator_train_start_steps)
+    disc_start_step: int = 20000
+    lambda_adv: float = 4.0
+    gen_lr: float = 1e-4
+    disc_lr: float = 5e-5
+    grad_clip: float = 10.0
+    log_interval: int = 500
+    save_interval: int = 5000
+    seed: int = 0
+    residual_channels: int = 64
+    layers: int = 30
+    stacks: int = 3
+
+
+class VocoderData:
+    """In-memory (wav, mel) corpus with frame-aligned random crops."""
+
+    def __init__(self, wav_scp: str, fe_cfg: LogMelConfig,
+                 max_utts: Optional[int] = None):
+        from a3t_tpu.data.fileio import SoundScpReader
+
+        reader = SoundScpReader(wav_scp)
+        frontend = LogMelFrontend(fe_cfg)
+        fe = jax.jit(lambda a: frontend(a)[0])
+        self.hop = fe_cfg.hop_length
+        self.utts: list[tuple[np.ndarray, np.ndarray]] = []
+        uids = list(reader.keys())
+        if max_utts:
+            uids = uids[:max_utts]
+        # pad each utt to a whole number of hops; batch per-utt (variable
+        # length) through a bucket-padded jitted front-end
+        bucket = 0
+        for uid in uids:
+            fs, wav = reader[uid]
+            if fs != fe_cfg.fs:
+                raise ValueError(f"{uid}: fs {fs} != frontend fs {fe_cfg.fs}")
+            n = (len(wav) // self.hop) * self.hop
+            wav = np.asarray(wav[:n], np.float32)
+            bucket = max(bucket, n)
+            self.utts.append((wav, None))
+        # round the shared pad length up so all utts share one compile
+        bucket = int(np.ceil(bucket / (64 * self.hop))) * 64 * self.hop
+        for i, (wav, _) in enumerate(self.utts):
+            padded = np.zeros(bucket, np.float32)
+            padded[: len(wav)] = wav
+            mel = np.asarray(fe(padded[None]))[0]  # (1+bucket//hop, n_mels)
+            n_frames = len(wav) // self.hop  # drop the trailing center frame
+            self.utts[i] = (wav, mel[:n_frames])
+        mels = np.concatenate([m for _, m in self.utts], axis=0)
+        self.mel_mean = mels.mean(axis=0)
+        self.mel_std = np.maximum(mels.std(axis=0), 1e-5)
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int,
+                     crop_frames: int):
+        crop_s = crop_frames * self.hop
+        mel = np.empty((batch_size, crop_frames, self.utts[0][1].shape[-1]),
+                       np.float32)
+        wav = np.empty((batch_size, crop_s), np.float32)
+        for b in range(batch_size):
+            wi, mi = self.utts[rng.integers(len(self.utts))]
+            max_f0 = mi.shape[0] - crop_frames
+            if max_f0 <= 0:  # short utt: tile-pad
+                reps = int(np.ceil(crop_frames / max(mi.shape[0], 1)))
+                mi = np.tile(mi, (reps, 1))[:crop_frames]
+                wi = np.tile(wi, reps)[:crop_s]
+                f0 = 0
+            else:
+                f0 = int(rng.integers(max_f0 + 1))
+            mel[b] = mi[f0 : f0 + crop_frames]
+            wav[b] = wi[f0 * self.hop : f0 * self.hop + crop_s]
+        mel = (mel - self.mel_mean) / self.mel_std
+        return mel, wav
+
+
+def _ckpt_tree(step, pg, pd, og, od):
+    return {"step": step, "params_g": pg, "params_d": pd,
+            "opt_g": og, "opt_d": od}
+
+
+def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
+                  cfg: VocoderTrainConfig = VocoderTrainConfig(),
+                  max_utts: Optional[int] = None,
+                  log_fn: Callable[[str], None] = print) -> str:
+    """Train a PWG vocoder on a wav.scp corpus; returns the checkpoint dir.
+
+    Resumable: restarts from ``out_dir`` if a checkpoint exists there.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    scales = upsample_scales_for_hop(fe_cfg.hop_length)
+    gcfg = PWGConfig(upsample_scales=scales,
+                     aux_channels=fe_cfg.n_mels,
+                     residual_channels=cfg.residual_channels,
+                     skip_channels=cfg.residual_channels,
+                     gate_channels=2 * cfg.residual_channels,
+                     layers=cfg.layers, stacks=cfg.stacks)
+    gen = ParallelWaveGANGenerator(gcfg)
+    disc = PWGDiscriminator()
+
+    log_fn(f"vocoder: loading corpus {wav_scp} ...")
+    data = VocoderData(wav_scp, fe_cfg, max_utts=max_utts)
+    log_fn(f"vocoder: {len(data.utts)} utts in memory")
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    crop_s = cfg.crop_frames * fe_cfg.hop_length
+
+    key, kg, kd = jax.random.split(key, 3)
+    mel0 = jnp.zeros((cfg.batch_size, cfg.crop_frames, fe_cfg.n_mels))
+    z0 = jnp.zeros((cfg.batch_size, crop_s, 1))
+    # jit the inits: eager flax init would execute every conv as a separate
+    # dispatch, which is pathologically slow through a remote-compile tunnel
+    params_g = jax.jit(gen.init)(kg, mel0, z0)["params"]
+    params_d = jax.jit(disc.init)(
+        kd, jnp.zeros((cfg.batch_size, crop_s)))["params"]
+
+    tx_g = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                       optax.adam(cfg.gen_lr))
+    tx_d = optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                       optax.adam(cfg.disc_lr))
+    opt_g = tx_g.init(params_g)
+    opt_d = tx_d.init(params_d)
+    step = 0
+
+    ckpt = ocp.StandardCheckpointer()
+    state_path = os.path.join(out_dir, "state")
+    if os.path.exists(state_path):
+        tree = ckpt.restore(
+            state_path, _ckpt_tree(step, params_g, params_d, opt_g, opt_d))
+        step, params_g, params_d = (tree["step"], tree["params_g"],
+                                    tree["params_d"])
+        opt_g, opt_d = tree["opt_g"], tree["opt_d"]
+        step = int(step)
+        log_fn(f"vocoder: resumed at step {step}")
+
+    meta = {
+        "frontend": dataclasses.asdict(fe_cfg),
+        "pwg": dataclasses.asdict(gcfg),
+        "mel_mean": data.mel_mean.tolist(),
+        "mel_std": data.mel_std.tolist(),
+    }
+    with open(os.path.join(out_dir, "vocoder.json"), "w") as f:
+        json.dump(meta, f)
+
+    @jax.jit
+    def step_spectral(pg, og, mel, wav, key):
+        z = jax.random.normal(key, (cfg.batch_size, crop_s, 1))
+
+        def loss_fn(p):
+            wav_hat = gen.apply({"params": p}, mel, z)
+            sc, mag = spectral_losses(wav_hat, wav)
+            return sc + mag, (sc, mag)
+
+        (loss, (sc, mag)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(pg)
+        updates, og = tx_g.update(grads, og, pg)
+        return optax.apply_updates(pg, updates), og, loss, sc, mag
+
+    @jax.jit
+    def step_adversarial(pg, pd, og, od, mel, wav, key):
+        z = jax.random.normal(key, (cfg.batch_size, crop_s, 1))
+
+        # generator: spectral + LSGAN adversarial against the current D
+        def g_loss_fn(p):
+            wav_hat = gen.apply({"params": p}, mel, z)
+            sc, mag = spectral_losses(wav_hat, wav)
+            adv = jnp.mean(
+                (disc.apply({"params": pd}, wav_hat) - 1.0) ** 2)
+            return sc + mag + cfg.lambda_adv * adv, (sc, mag, adv, wav_hat)
+
+        (g_loss, (sc, mag, adv, wav_hat)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(pg)
+        g_updates, og = tx_g.update(g_grads, og, pg)
+        pg = optax.apply_updates(pg, g_updates)
+
+        # discriminator: real -> 1, generated (detached) -> 0
+        def d_loss_fn(p):
+            real = jnp.mean((disc.apply({"params": p}, wav) - 1.0) ** 2)
+            fake = jnp.mean(
+                disc.apply({"params": p},
+                           jax.lax.stop_gradient(wav_hat)) ** 2)
+            return real + fake
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(pd)
+        d_updates, od = tx_d.update(d_grads, od, pd)
+        pd = optax.apply_updates(pd, d_updates)
+        return pg, pd, og, od, g_loss, sc, mag, adv, d_loss
+
+    import time
+
+    t0 = time.time()
+    history = []
+    while step < cfg.total_steps:
+        mel, wav = data.sample_batch(rng, cfg.batch_size, cfg.crop_frames)
+        kz = jax.random.fold_in(key, step)
+        if step < cfg.disc_start_step:
+            params_g, opt_g, loss, sc, mag = step_spectral(
+                params_g, opt_g, mel, wav, kz)
+            stats = {"loss": loss, "sc": sc, "mag": mag}
+        else:
+            (params_g, params_d, opt_g, opt_d, loss, sc, mag, adv,
+             d_loss) = step_adversarial(
+                params_g, params_d, opt_g, opt_d, mel, wav, kz)
+            stats = {"loss": loss, "sc": sc, "mag": mag, "adv": adv,
+                     "d": d_loss}
+        step += 1
+        if step % cfg.log_interval == 0 or step == cfg.total_steps:
+            s = {k: round(float(v), 4) for k, v in stats.items()}
+            rate = cfg.log_interval / (time.time() - t0)
+            t0 = time.time()
+            history.append({"step": step, **s})
+            log_fn(f"vocoder step {step}/{cfg.total_steps} {s} "
+                   f"({rate:.1f} it/s)")
+        if step % cfg.save_interval == 0 or step == cfg.total_steps:
+            tmp = state_path + ".tmp"
+            ckpt.save(tmp, _ckpt_tree(step, params_g, params_d, opt_g,
+                                      opt_d), force=True)
+            ckpt.wait_until_finished()
+            if os.path.exists(state_path):
+                import shutil
+
+                shutil.rmtree(state_path)
+            os.replace(tmp, state_path)
+            with open(os.path.join(out_dir, "history.json"), "w") as f:
+                json.dump(history, f)
+    return out_dir
+
+
+def load_vocoder(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
+    """Load a trained vocoder dir -> callable (B, F, n_mels) -> (B, F*hop).
+
+    Accepts the acoustic model's raw log10-mel (normalization statistics are
+    baked into the checkpoint).  Pads the frame axis to a multiple of 64 so
+    repeated calls share a handful of compiled shapes.
+    """
+    with open(os.path.join(out_dir, "vocoder.json")) as f:
+        meta = json.load(f)
+    gcfg = PWGConfig(**{k: tuple(v) if isinstance(v, list) else v
+                        for k, v in meta["pwg"].items()})
+    hop = int(np.prod(gcfg.upsample_scales))
+    gen = ParallelWaveGANGenerator(gcfg)
+    mean = np.asarray(meta["mel_mean"], np.float32)
+    std = np.asarray(meta["mel_std"], np.float32)
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.join(out_dir, "state"))
+    params = restored["params_g"]
+
+    @jax.jit
+    def run(mel):
+        z = jax.random.normal(
+            jax.random.PRNGKey(0), (mel.shape[0], mel.shape[1] * hop, 1))
+        return gen.apply({"params": params}, mel, z)
+
+    def vocode(mel: np.ndarray) -> np.ndarray:
+        mel = np.asarray(mel, np.float32)
+        if mel.ndim == 2:
+            mel = mel[None]
+        n_frames = mel.shape[1]
+        pad_f = int(np.ceil(n_frames / 64)) * 64
+        mel_p = np.pad(mel, ((0, 0), (0, pad_f - n_frames), (0, 0)),
+                       mode="edge")
+        mel_p = (mel_p - mean) / std
+        wav = np.asarray(run(jnp.asarray(mel_p)))
+        return wav[:, : n_frames * hop]
+
+    return vocode

@@ -30,6 +30,9 @@ import time
 
 import numpy as np
 
+# FROZEN as of round 2 (BENCH_r02) so vs_baseline is comparable across
+# rounds; round 1 used a different (lower) denominator — compare r01 by
+# raw frames/s only.  Do not change without renaming the metric.
 REFERENCE_GPU_FRAMES_PER_SEC = 26000.0
 
 

@@ -160,12 +160,14 @@ def main():
 
     import os
 
-    # merge into the existing table so partial runs don't clobber it
+    # merge into the existing table so partial runs don't clobber it —
+    # stale file first, fresh metadata and measurements overwrite
     path = "docs/STEP_BENCH.json"
-    report = {"batch": BATCH, "n_frames": N_FRAMES, "repeat": REPEAT}
+    report = {}
     if os.path.exists(path):
         with open(path) as f:
-            report.update(json.load(f))
+            report = json.load(f)
+    report.update({"batch": BATCH, "n_frames": N_FRAMES, "repeat": REPEAT})
     for v in args.variants:
         ms, (bsz, n_frames) = measure(v)
         report[v] = {"ms_per_step": round(ms, 1),

@@ -10,7 +10,7 @@
 //   #  word boundary            :  zero or more consonants
 //   ^  exactly one consonant    +  a front vowel (E, I, Y)
 //   .  a voiced consonant       %  a suffix (E, ER, ES, ED, ELY, ING)
-//   $  one vowel
+//   $  one vowel                &  one or more vowels
 //
 // The rule tables below are original (not copied from the reference);
 // output is ARPAbet with stress digits matching the post-processed form the
@@ -53,14 +53,18 @@ const Rule kRules[] = {
     {"", "AR", "#", "ER0"},
     {"", "AR", "", "AA1 R"},
     {"", "A", "^E#", "EY1"},
+    {"", "A", "^ES#", "EY1"},   // magic e survives -es (drakes, cakes)
+    {"", "A", "^ED#", "EY1"},   // ... and -ed (packed excluded by ^ = one)
     {"", "A", "^I#", "EY1"},
     {"#:", "A", "#", "AH0"},
+    {"&:", "A", "#", "AH0"},    // polysyllabic final a -> schwa (tufa)
     {"", "A", "", "AE1"},
     // --- B ---
     {"", "BB", "", "B"},
     {"", "B", "#", "B"},
     {"", "B", "", "B"},
     // --- C ---
+    {"", "CIA", "", "SH AH0"},  // indicia, valencia
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
@@ -68,11 +72,34 @@ const Rule kRules[] = {
     {"", "C", "", "K"},
     // --- D ---
     {"", "DD", "", "D"},
+    // -ed after a voiceless consonant devoices to /t/ (packed, washed);
+    // context is the spelling letter before the silenced e
+    {"KE", "D", "#", "T"},
+    {"PE", "D", "#", "T"},
+    {"CE", "D", "#", "T"},
+    {"FE", "D", "#", "T"},
+    {"HE", "D", "#", "T"},      // -shed/-ched (washed, matched)
+    {"XE", "D", "#", "T"},
+    {"SSE", "D", "#", "T"},     // passed, missed
     {"#:^E", "D", "#", "D"},
     {"", "D", "", "D"},
     // --- E ---
     {"#:", "E", "#", ""},
     {"^", "E", "#", ""},  // silent final e
+    // -ed/-es keep a syllable after t/d and sibilants (wanted, houses)
+    {"&:T", "E", "D#", "IH0"},
+    {"&:D", "E", "D#", "IH0"},
+    {"&:S", "E", "S#", "IH0"},
+    {"&:C", "E", "S#", "IH0"},
+    {"&:G", "E", "S#", "IH0"},
+    {"&:Z", "E", "S#", "IH0"},
+    {"&:X", "E", "S#", "IH0"},
+    {"&:H", "E", "S#", "IH0"},  // -shes/-ches
+    {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
+    {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
+    {"", "E", "^E#", "IY1"},    // magic e on e itself (eke, theme)
+    {"", "E", "^ES#", "IY1"},
+    {"", "E", "^ED#", "IY1"},
     {"", "EAR", "", "IH1 R"},
     {"", "EE", "", "IY1"},
     {"", "EA", "", "IY1"},
@@ -93,13 +120,21 @@ const Rule kRules[] = {
     {"", "G", "", "G"},
     // --- H ---
     {"#", "H", "$", "HH"},
-    {"$", "H", "", ""},
+    {"$", "H", "#", ""},   // silent final h (oh, ah)
+    {"$", "H", "^", ""},   // vowel-h-consonant (john)
+    {"", "H", "$", "HH"},  // intervocalic h sounds (behold, ahead)
     {"", "H", "", "HH"},
     // --- I ---
     {"", "IGH", "", "AY1"},
+    {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
+    {"&:^", "IES", "#", "IY0 Z"},  // ... -ies (ladies)
     {"", "IE", "#", "AY1"},
+    {"", "IE", "D#", "AY1"},    // monosyllabic died/tried
+    {"", "IE", "S#", "AY1"},
     {"", "IR", "", "ER1"},
     {"", "I", "^E#", "AY1"},
+    {"", "I", "^ES#", "AY1"},   // magic e survives -es (miles)
+    {"", "I", "^ED#", "AY1"},   // timed, fired
     {"", "I", "ND#", "AY1"},
     {"", "ING", "#", "IH0 NG"},
     {"", "I", "", "IH1"},
@@ -111,12 +146,14 @@ const Rule kRules[] = {
     {"", "K", "", "K"},
     // --- L ---
     {"", "LL", "", "L"},
+    {"^", "LE", "#", "AH0 L"},  // syllabic -le (able, table)
     {"", "L", "", "L"},
     // --- M ---
     {"", "MM", "", "M"},
     {"", "MB", "#", "M"},
     {"", "M", "", "M"},
     // --- N ---
+    {"", "NG", "+", "N JH"},    // soft g after n (changer, danger)
     {"", "NG", "", "NG"},
     {"", "NN", "", "N"},
     {"", "N", "", "N"},
@@ -131,7 +168,12 @@ const Rule kRules[] = {
     {"", "OW", "#", "OW1"},
     {"", "OW", "", "AW1"},
     {"", "OR", "", "AO1 R"},
+    {"", "OL", "D", "OW1 L"},   // old/gold/beholden family
+    {"", "O", "FF", "AO1"},     // off/office
+    {"#", "O", "^&", "OW1"},    // word-initial open syllable (open, omead)
     {"", "O", "^E#", "OW1"},
+    {"", "O", "^ES#", "OW1"},   // magic e survives -es/-ed (dosed, notes)
+    {"", "O", "^ED#", "OW1"},
     {"", "O", "#", "OW1"},
     {"", "O", "", "AA1"},
     // --- P ---
@@ -143,11 +185,17 @@ const Rule kRules[] = {
     {"", "Q", "", "K"},
     // --- R ---
     {"", "RR", "", "R"},
+    {"#", "RE", "^$", "R IY0"},  // re- prefix (repack, return)
     {"", "R", "", "R"},
     // --- S ---
     {"", "SH", "", "SH"},
     {"", "SS", "", "S"},
     {"#", "S", "", "S"},
+    // plural -s after a voiceless stop + silent e stays /s/ (drakes)
+    {"KE", "S", "#", "S"},
+    {"PE", "S", "#", "S"},
+    {"TE", "S", "#", "S"},
+    {"FE", "S", "#", "S"},
     {".", "S", "#", "Z"},
     {"$", "S", "#", "Z"},
     {"", "SION", "", "ZH AH0 N"},
@@ -156,10 +204,16 @@ const Rule kRules[] = {
     {"", "TH", "", "TH"},
     {"", "TT", "", "T"},
     {"", "TION", "", "SH AH0 N"},
+    {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
     {"", "T", "", "T"},
     // --- U ---
+    {"T", "URE", "#", "CH ER0"},  // nature, future
+    {"", "URE", "#", "UH1 R"},    // cure, pure, inure
     {"", "UR", "", "ER1"},
     {"", "U", "^E#", "UW1"},
+    {"", "U", "^ES#", "UW1"},
+    {"", "U", "^ED#", "UW1"},
+    {"", "U", "^$", "UW1"},     // open syllable (music, tufa)
     {"", "U", "", "AH1"},
     // --- V ---
     {"", "V", "", "V"},
@@ -207,6 +261,11 @@ bool match_left(const std::string& w, int pos, const char* pat) {
       if (i < 0 || !is_vowel(w[i])) return false;
       --i;
       --p;
+    } else if (c == '&') {
+      if (i < 0 || !is_vowel(w[i])) return false;
+      --i;
+      while (i >= 0 && is_vowel(w[i])) --i;
+      --p;
     } else {
       if (i < 0 || w[i] != c) return false;
       --i;
@@ -238,6 +297,10 @@ bool match_right(const std::string& w, int pos, const char* pat) {
     } else if (c == '$') {
       if (i >= n || !is_vowel(w[i])) return false;
       ++i;
+    } else if (c == '&') {
+      if (i >= n || !is_vowel(w[i])) return false;
+      ++i;
+      while (i < n && is_vowel(w[i])) ++i;
     } else if (c == '%') {
       // suffix: E | ER | ES | ED | ELY | ING
       if (i < n && w[i] == 'E') {

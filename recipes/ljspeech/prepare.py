@@ -27,7 +27,10 @@ def main():
     parser.add_argument("--out", required=True)
     parser.add_argument("--dev-utts", type=int, default=100)
     parser.add_argument("--eval-utts", type=int, default=100)
-    parser.add_argument("--fs", type=int, default=22050)
+    parser.add_argument("--fs", type=int, default=22050,
+                        help="training sample rate; sources are formatted "
+                             "(resampled) to this before alignment "
+                             "(reference mlm.sh stage 2 format_wav_scp.sh)")
     parser.add_argument("--skip-align", action="store_true")
     args = parser.parse_args()
 
@@ -70,7 +73,12 @@ def main():
         write_2column_text(os.path.join(d, "text"), text)
         write_2column_text(os.path.join(d, "utt2spk"),
                            {u: "LJ" for u in wav_scp})
-        print(f"{name}: {len(wav_scp)} utts")
+        # format stage: mono PCM16 @ --fs (resamples when --fs != 22050)
+        from a3t_tpu.data.format_wav import format_data_dir
+
+        report = format_data_dir(d, d, args.fs)
+        print(f"{name}: {len(wav_scp)} utts (formatted -> {args.fs} Hz, "
+              f"{report['source_fs_counts']})")
 
     with open(os.path.join(args.out, "lexicon.txt"), "w") as f:
         for w in sorted(lexicon):

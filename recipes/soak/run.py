@@ -119,6 +119,13 @@ def stage2_align(args, train_dir, workdir):
         b = np.asarray(o_start[u][1:], np.float64)
         if len(a) == len(b) and len(a):
             errs.append(np.abs(a - b))
+    if not errs:
+        stats = {"n_boundaries": 0,
+                 "error": "no utterance had matching aligner/oracle phone "
+                          "counts — aligner output is unusable"}
+        with open(os.path.join(workdir, "aligner_eval.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        raise RuntimeError(stats["error"])
     errs = np.concatenate(errs) * 1000.0
     stats = {
         "n_boundaries": int(errs.size),

@@ -3,7 +3,10 @@
 From a VCTK-Corpus checkout (wav48/<spk>/*.wav + txt/<spk>/*.txt):
   1. Kaldi-style dirs with speaker-aware train/dev splits (held-out
      speakers for the unseen-speaker MCD protocol),
-  2. native-g2p phonemization, 3. native forced alignment.
+  2. format stage: resample the 48 kHz source to --target-fs mono PCM16
+     (the reference's mlm.sh stage 2 / format_wav_scp.sh sox pass;
+     run.sh:11 trains VCTK at fs=24000),
+  3. native-g2p phonemization, 4. native forced alignment at target fs.
 
     python recipes/vctk/prepare.py --corpus /data/VCTK-Corpus \
         --out dump/vctk [--unseen-speakers p225 p226 ...]
@@ -24,7 +27,11 @@ def main():
     parser.add_argument("--unseen-speakers", nargs="*",
                         default=["p225", "p226", "p227", "p228"])
     parser.add_argument("--dev-per-spk", type=int, default=5)
-    parser.add_argument("--fs", type=int, default=48000)
+    parser.add_argument("--source-fs", type=int, default=48000,
+                        help="expected corpus sample rate (wav48 = 48 kHz)")
+    parser.add_argument("--target-fs", type=int, default=24000,
+                        help="training sample rate (run.sh:11 fs=24000); "
+                             "matches configs/a3t_conformer_24k.yaml")
     parser.add_argument("--skip-align", action="store_true")
     args = parser.parse_args()
 
@@ -69,6 +76,8 @@ def main():
             splits[split][uid] = (wav, phones)
             spk_map[split][uid] = spk
 
+    from a3t_tpu.data.format_wav import format_data_dir
+
     for name, data in splits.items():
         d = os.path.join(args.out, name)
         write_2column_text(os.path.join(d, "wav.scp"),
@@ -76,7 +85,11 @@ def main():
         write_2column_text(os.path.join(d, "text"),
                            {u: v[1] for u, v in data.items()})
         write_2column_text(os.path.join(d, "utt2spk"), spk_map[name])
-        print(f"{name}: {len(data)} utts")
+        # format stage: 48 kHz source -> mono PCM16 @ target fs, in place
+        report = format_data_dir(d, d, args.target_fs,
+                                 expected_source_fs=args.source_fs)
+        print(f"{name}: {len(data)} utts (formatted -> "
+              f"{args.target_fs} Hz, {report['source_fs_counts']})")
 
     with open(os.path.join(args.out, "lexicon.txt"), "w") as f:
         for w in sorted(lexicon):
@@ -89,7 +102,7 @@ def main():
         for name in splits:
             print(f"aligning {name}...")
             align_corpus(os.path.join(args.out, name),
-                         sample_rate=args.fs, n_iterations=10,
+                         sample_rate=args.target_fs, n_iterations=10,
                          model_path=model_path if name == "tr_no_dev" else None)
 
 

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 from a3t_tpu.inference.baselines import FS2Baselines, dynamic_evaluation
 
 
+# the module fixture trains a model: whole file is slow-tier
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
     from a3t_tpu.data.dataset import A3TDataset

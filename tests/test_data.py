@@ -128,6 +128,7 @@ def test_iter_factory_window(corpus, converter):
     assert len(batches) == 7  # wraps the corpus as needed
 
 
+@pytest.mark.slow
 def test_end_to_end_train_on_mini_corpus(corpus, converter):
     """The mini_an4-style integration test: files -> batches -> train steps."""
     import jax

@@ -39,6 +39,7 @@ def test_length_regulate_semantics():
                                   [1, 1, 1, 1, 1, 0, 0, 0])
 
 
+@pytest.mark.slow
 def test_fs2_forward_and_loss(rng):
     cfg = tiny_fs2()
     model = FastSpeech2(cfg)
@@ -66,6 +67,7 @@ def test_fs2_forward_and_loss(rng):
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_fs2_inference_duration_prediction(rng):
     cfg = tiny_fs2(use_gst=True, spk_embed_dim=16)
     model = FastSpeech2(cfg)
@@ -88,6 +90,7 @@ def test_fs2_inference_duration_prediction(rng):
     assert out["after"].shape == (b, cfg.max_feat_len, 12)
 
 
+@pytest.mark.slow
 def test_gst_style_encoder(rng):
     enc = StyleEncoder(gst_token_dim=32, gst_heads=2,
                        conv_chans_list=(4, 8), gru_units=16)
@@ -128,6 +131,7 @@ def test_pitch_extraction_tracks_tone(rng):
     assert (tg["energy"] > 0).all()
 
 
+@pytest.mark.slow
 def test_fs2_training_on_mini_corpus(tmp_path):
     """Full FS2 training path: corpus -> targets -> train steps."""
     from a3t_tpu.data.dataset import A3TDataset

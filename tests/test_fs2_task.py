@@ -12,6 +12,9 @@ import jax
 from a3t_tpu.data.miniature import generate_mini_corpus
 
 
+# the module fixture trains a model: whole file is slow-tier
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def fs2_exp(tmp_path_factory):
     """Train a tiny FastSpeech2 for 1 epoch on the mini corpus."""

@@ -20,6 +20,7 @@ def _inputs(rng):
     return jnp.asarray(x), jnp.asarray(pos), jnp.asarray(mask)
 
 
+@pytest.mark.slow
 def test_flash_matches_xla_path_forward_and_grads(rng):
     x, pos, mask = _inputs(rng)
     ref_mod = RelPositionMultiHeadedAttention(H, dropout_rate=0.0)
@@ -95,6 +96,7 @@ def test_fused_attention_bias_gradient(rng):
                                atol=5e-5, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_in_kernel_dropout_statistics(rng):
     """Dropout keeps E[out] ~ exact attention and zeroes ~rate of probs;
     forward and backward regenerate the same mask (grad through dropout

@@ -77,6 +77,35 @@ def test_native_g2p_handles_garbage():
     _valid(native_g2p("a1b2c3"))
 
 
+def test_native_g2p_agreement_floor():
+    """Phone-level agreement floor vs the reference english2phoneme binary
+    and the CMU dictionary (full eval: recipes/g2p_eval/run.py ->
+    docs/G2P_EVAL.json).  Measured at round 3: 0.90 vs the binary, 0.79 vs
+    CMU (the binary itself scores 0.78 vs CMU)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    if not os.path.exists("/root/reference/tools/english2phoneme/phoneme"):
+        pytest.skip("no reference mount")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from recipes.g2p_eval.run import (
+        accuracy,
+        reference_g2p,
+        sample_words,
+    )
+
+    cmu = sample_words(150, seed=7)
+    words = list(cmu)
+    ref = reference_g2p(words)
+    ours = {w: native_g2p(w.lower()) for w in words}
+    vs_bin = float(np.mean([accuracy(ours[w], ref[w]) for w in words]))
+    vs_cmu = float(np.mean([accuracy(ours[w], cmu[w]) for w in words]))
+    assert vs_bin >= 0.82, vs_bin
+    assert vs_cmu >= 0.72, vs_cmu
+
+
 def test_cmu_dict_loader():
     """Parse the reference's shipped CMU pronouncing dictionary."""
     import os

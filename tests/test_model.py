@@ -54,6 +54,7 @@ def test_legacy_rel_shift_matches_reference_semantics(rng):
     np.testing.assert_allclose(got, ref)
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_loss(rng):
     cfg = tiny_config()
     model = A3TMLMModel(cfg)
@@ -67,6 +68,7 @@ def test_forward_shapes_and_loss(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_train_mode_runs_with_dropout_and_batchstats(rng):
     cfg = tiny_config()
     model = A3TMLMModel(cfg)
@@ -149,6 +151,7 @@ def test_duration_predictor_variant(rng):
     assert np.isfinite(np.asarray(dl)).all()
 
 
+@pytest.mark.slow
 def test_remat_equivalence(rng):
     """remat=True must be numerically identical to remat=False."""
     import dataclasses

@@ -40,6 +40,7 @@ def test_utterance_mvn(rng):
     np.testing.assert_allclose(np.asarray(y).std(axis=1), 1, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_collect_and_aggregate_stats(tmp_path):
     from a3t_tpu.data.dataset import A3TDataset
     from a3t_tpu.data.miniature import generate_mini_corpus

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from a3t_tpu.data import make_synthetic_batch
 from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
@@ -34,6 +35,7 @@ def tiny():
     return A3TMLMModel(cfg), fe, batch
 
 
+@pytest.mark.slow
 def test_sow_captures_attention_probs():
     from a3t_tpu.train.plots import _attn_entries
     from a3t_tpu.train.train_step import featurize

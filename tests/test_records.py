@@ -73,6 +73,7 @@ def test_batcher_over_records_matches_wav_batches(packed):
                                atol=1.0 / 32767)
 
 
+@pytest.mark.slow
 def test_cli_train_from_record_dir(tmp_path):
     import yaml
 

@@ -67,6 +67,7 @@ def test_unknown_key_rejected():
         config_from_dict({"no_such_key": 1})
 
 
+@pytest.mark.slow
 def test_cli_train_on_mini_corpus(tmp_path):
     corpus = generate_mini_corpus(str(tmp_path / "data"), n_utts=8, fs=8000)
     exp = str(tmp_path / "exp")
@@ -134,6 +135,7 @@ def test_cli_train_on_mini_corpus(tmp_path):
                 assert w.getnframes() > 0
 
 
+@pytest.mark.slow
 def test_cli_train_tts_variant(tmp_path):
     """duration_predictor_layers > 0 routes through the TTS train step."""
     corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=6, fs=8000)
@@ -151,6 +153,7 @@ def test_cli_train_tts_variant(tmp_path):
     assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
 
 
+@pytest.mark.slow
 def test_cli_train_multi_corpus(tmp_path):
     """Config-driven two-corpus mixture (one speech-only, other rate)."""
     c1 = generate_mini_corpus(str(tmp_path / "c1"), n_utts=6, fs=8000)
@@ -177,6 +180,7 @@ def test_cli_train_multi_corpus(tmp_path):
     assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
 
 
+@pytest.mark.slow
 def test_cli_train_with_plots_and_wandb_flag(tmp_path):
     """num_plot_examples dumps validation mel plots; use_wandb degrades
     gracefully when the package is missing."""
@@ -197,6 +201,7 @@ def test_cli_train_with_plots_and_wandb_flag(tmp_path):
     assert any(p.endswith(".png") for p in plots)
 
 
+@pytest.mark.slow
 def test_cli_train_longformer_pallas(tmp_path):
     """The long-audio path end-to-end: longformer attention with the
     Pallas banded kernel (interpret mode on CPU), config-driven."""

@@ -76,6 +76,7 @@ def test_featurize_masks_pad_frames(rng):
         assert not mp[i, flens[i]:].any()
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(rng):
     model = tiny_model()
     fe = tiny_frontend()
@@ -96,6 +97,7 @@ def test_train_step_reduces_loss(rng):
     assert int(state.step) == 30
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs(rng):
     mesh = make_mesh(MeshConfig(data_parallel=4, tensor_parallel=2))
     model = tiny_model()
@@ -122,6 +124,7 @@ def test_sharded_train_step_runs(rng):
     assert "model" in str(spec)
 
 
+@pytest.mark.slow
 def test_sharded_opt_state_matches_replicated(rng):
     """ZeRO-1 moment sharding changes memory layout, not numerics: one
     train step with data-sharded Adam moments equals the replicated step."""
@@ -160,6 +163,61 @@ def test_sharded_opt_state_matches_replicated(rng):
     np.testing.assert_allclose(
         np.asarray(s_rep.params["sfc"]["kernel"]),
         np.asarray(s_shd.params["sfc"]["kernel"]), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_cross_mesh_numerical_parity(rng):
+    """One train step on the same global batch must produce the same loss
+    and updated params on 1 device, an 8-way data mesh, and a 4x2
+    data x model mesh — the DDP guarantee (gradients all-reduce to the
+    single-process result, espnet2/train/trainer.py:583-595) extended to
+    tensor parallelism."""
+    from a3t_tpu.parallel import shard_opt_state
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=20))
+    batch_np = tiny_batch(rng, b=8)
+
+    def one_step(mesh):
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        sample = featurize(fe, {k: v[:2] for k, v in batch.items()},
+                           use_fused=False)
+        state = create_train_state(model, tx, sample)
+        if mesh is not None:
+            state = state.replace(
+                params=shard_variables(mesh, state.params),
+                opt_state=shard_opt_state(mesh, state.opt_state))
+            batch = jax.device_put(batch, batch_sharding(mesh))
+        step = make_train_step(model, fe, mesh=mesh, donate=False)
+        state, stats = step(state, batch, jax.random.PRNGKey(0))
+        return float(stats["loss"]), jax.device_get(state.params)
+
+    loss_1, params_1 = one_step(None)
+    loss_dp, params_dp = one_step(make_mesh(MeshConfig(data_parallel=8)))
+    loss_tp, params_tp = one_step(
+        make_mesh(MeshConfig(data_parallel=4, tensor_parallel=2)))
+
+    np.testing.assert_allclose(loss_dp, loss_1, rtol=1e-5)
+    np.testing.assert_allclose(loss_tp, loss_1, rtol=1e-5)
+    # Updated params: almost all elements match tightly.  The exception is
+    # zero-initialized biases whose true gradient is ~0 — there Adam's
+    # first-step g/sqrt(v) normalizes to +-1, so a cross-mesh
+    # accumulation-order difference of 1e-12 in the gradient flips the sign
+    # of a full +-lr update.  Bound those by one update's magnitude and
+    # require they stay <0.2% of all elements.
+    sched = noam_schedule(32, 20, 1.0)
+    max_update = 2.5 * float(sched(0))
+    for other in (params_dp, params_tp):
+        n_bad, n_total = 0, 0
+        for a, b in zip(jax.tree_util.tree_leaves(params_1),
+                        jax.tree_util.tree_leaves(other)):
+            a, b = np.asarray(a), np.asarray(b)
+            d = np.abs(a - b)
+            np.testing.assert_array_less(d.max(), max_update)
+            n_bad += int(((d > 1e-5) & (d > 2e-4 * np.abs(a))).sum())
+            n_total += a.size
+        assert n_bad / n_total < 2e-3, (n_bad, n_total)
 
 
 def test_checkpoint_roundtrip_and_nbest(rng, tmp_path):
@@ -201,6 +259,7 @@ def test_checkpoint_roundtrip_and_nbest(rng, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(rng, tmp_path):
     model = tiny_model()
     fe = tiny_frontend()
@@ -242,6 +301,7 @@ def test_trainer_end_to_end(rng, tmp_path):
     assert int(state2.step) == 9  # 6 restored + 3 new
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_matches_uninterrupted(rng, tmp_path):
     """save_interval_steps writes step-keyed checkpoints; resuming one
     replays the epoch-seeded stream and lands on the exact same params as

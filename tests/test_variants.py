@@ -66,6 +66,7 @@ def test_duration_collect_batches(corpus, converter):
     assert (batch["reduced_lengths"] > 0).any()
 
 
+@pytest.mark.slow
 def test_tts_variant_train_step(corpus, converter):
     ds = A3TDataset(corpus, converter)
     batcher = BucketBatcher(ds, FE_CFG, BatcherConfig(
@@ -88,6 +89,7 @@ def test_tts_variant_train_step(corpus, converter):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_speech_only_batches_and_training(corpus, converter):
     ds = A3TDataset(corpus, converter, speech_only=True)
     assert ds.speech_only
@@ -113,6 +115,7 @@ def test_speech_only_batches_and_training(corpus, converter):
     assert np.isfinite(float(stats["loss"]))
 
 
+@pytest.mark.slow
 def test_multi_corpus_factory_and_step(tmp_path, corpus, converter):
     # second corpus at a different sample rate, speech-only
     corpus2 = generate_mini_corpus(str(tmp_path / "c2"), n_utts=6, fs=16000,

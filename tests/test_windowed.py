@@ -61,6 +61,7 @@ def test_windowed_band_locality(rng):
     assert np.abs(out3[0, 0] - out1[0, 0]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_longformer_model_variant(rng):
     enc = EncoderConfig(
         attention_dim=32, attention_heads=2, linear_units=64, num_blocks=1,
@@ -86,6 +87,7 @@ def test_longformer_model_variant(rng):
     assert "pre_speech_encoders" in variables["params"]
 
 
+@pytest.mark.slow
 def test_pallas_path_matches_chunked(rng):
     """use_pallas routes the speech band through the fused kernel with
     identical results (forward + gradients) to the chunked-einsum path."""
