@@ -67,9 +67,9 @@ class WindowedSelfAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[jnp.dtype] = None
     # route the speech-query band through the fused Pallas kernel
-    # (ops/banded_attention.py).  Falls back to the chunked-einsum path
-    # whenever attention-prob dropout is active (the kernel is exact
-    # softmax; dropout lives only in the XLA formulation).
+    # (ops/banded_attention.py), including its in-kernel attention-prob
+    # dropout (mask regenerated in the backward kernels — the reference's
+    # Longformer configs train with attention dropout).
     use_pallas: bool = False
 
     @nn.compact
@@ -107,7 +107,7 @@ class WindowedSelfAttention(nn.Module):
         neg = jnp.finfo(jnp.float32).min
 
         dropout_active = self.dropout_rate > 0 and not deterministic
-        if self.use_pallas and not dropout_active:
+        if self.use_pallas:
             # ---- speech queries via the fused Pallas kernel --------------
             from a3t_tpu.ops.banded_attention import banded_attention
 
@@ -116,6 +116,9 @@ class WindowedSelfAttention(nn.Module):
                 v_sp.transpose(0, 2, 1, 3), k_tx.transpose(0, 2, 1, 3),
                 v_tx.transpose(0, 2, 1, 3), tx_mask, self.window,
                 speech_mask=sp_mask,
+                dropout_rate=self.dropout_rate if dropout_active else 0.0,
+                dropout_rng=(self.make_rng("dropout")
+                             if dropout_active else None),
             ).transpose(0, 2, 1, 3)  # back to (B, T, H, d)
         else:
             # ---- speech queries: banded over speech + full over text -----

@@ -28,7 +28,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from a3t_tpu.ops.fused_attention import _dropout_mask
+
 _NEG = np.float32(-1e30)
+
+# interpret-mode counter offset separating the text-mask draw from the
+# band-mask draw under one (seed, lane); on hardware the PRNG stream
+# simply advances between the two prng_random_bits calls
+_TEXT_DRAW = 1 << 20
 
 
 def _chunk_spec(c, d, nc, offset):
@@ -79,15 +86,17 @@ def _band_masks(band, text, tm, kmask):
     return band, text
 
 
-def _fwd_call(q, k, v, k_text, v_text, txm, bandm, window: int,
-              interpret: bool):
+def _fwd_call(q, k, v, k_text, v_text, txm, bandm, seed, window: int,
+              rate: float, interpret: bool):
     b, h, t, d = q.shape
     c = window // 2
     nc = t // c
     tt = k_text.shape[2]
     scale = np.float32(1.0 / np.sqrt(d))
 
-    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, bm, out, lse):
+    def kernel(seed_r, q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, bm,
+               out, lse):
+        bi, hi, ci = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         qq = q_r[0, 0, 0]
         kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
         vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
@@ -105,6 +114,15 @@ def _fwd_call(q, k, v, k_text, v_text, txm, bandm, window: int,
         eb = jnp.exp(band - m)
         et = jnp.exp(text - m)
         denom = eb.sum(axis=1, keepdims=True) + et.sum(axis=1, keepdims=True)
+        if rate > 0.0:
+            # dropout on the *probabilities*: the denominator stays the
+            # un-dropped softmax normalizer (reference semantics — dropout
+            # is applied to the attention matrix after softmax)
+            lane = (bi * h + hi) * nc + ci
+            eb = eb * _dropout_mask(eb.shape, rate, seed_r[0], lane,
+                                    interpret)
+            et = et * _dropout_mask(et.shape, rate, seed_r[0], lane,
+                                    interpret, offset=_TEXT_DRAW)
         res = (
             jnp.dot(eb, vb, preferred_element_type=jnp.float32)
             + jnp.dot(et, vt[0, 0], preferred_element_type=jnp.float32)
@@ -121,6 +139,7 @@ def _fwd_call(q, k, v, k_text, v_text, txm, bandm, window: int,
         kernel,
         grid=(b, h, nc),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             cs(0),                     # q
             cs(-1), cs(0), cs(1),      # k band
             _text_spec(tt, d),         # k text
@@ -143,14 +162,14 @@ def _fwd_call(q, k, v, k_text, v_text, txm, bandm, window: int,
         ],
         interpret=interpret,
     )(
-        to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
+        seed, to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
         to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm, bandm,
     )
     return out.reshape(b, h, t, d), lse
 
 
 def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
-                 window: int, interpret: bool):
+                 seed, window: int, rate: float, interpret: bool):
     """Query-chunk pass: dq + the accumulated global text-side grads."""
     b, h, t, d = q.shape
     c = window // 2
@@ -158,9 +177,9 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
     tt = k_text.shape[2]
     scale = np.float32(1.0 / np.sqrt(d))
 
-    def kernel(q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, bm,
+    def kernel(seed_r, q_r, kp, kc, kn, kt, vp, vc, vn, vt, tm, bm,
                do_r, lse_r, dl_r, dq, dkt, dvt):
-        i = pl.program_id(2)
+        bi, hi, i = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         qq = q_r[0, 0, 0]
         kb = jnp.concatenate([kp[0, 0, 0], kc[0, 0, 0], kn[0, 0, 0]], axis=0)
         vb = jnp.concatenate([vp[0, 0, 0], vc[0, 0, 0], vn[0, 0, 0]], axis=0)
@@ -179,12 +198,25 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
         pb = jnp.exp(band - l_i)  # (c, 3c); masked entries exp(-inf) = 0
         pt = jnp.exp(text - l_i)  # (c, Tt)
 
+        if rate > 0.0:
+            # regenerate the forward's masks: same (seed, lane), same order
+            lane = (bi * h + hi) * nc + i
+            keep_b = _dropout_mask(pb.shape, rate, seed_r[0], lane,
+                                   interpret)
+            keep_t = _dropout_mask(pt.shape, rate, seed_r[0], lane,
+                                   interpret, offset=_TEXT_DRAW)
+        else:
+            keep_b = keep_t = None
+
         dp_b = jax.lax.dot_general(
             do, vb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp_t = jax.lax.dot_general(
             do, vt[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if keep_b is not None:
+            dp_b = dp_b * keep_b
+            dp_t = dp_t * keep_t
         ds_b = pb * (dp_b - d_i)
         ds_t = pt * (dp_t - d_i)
 
@@ -195,8 +227,9 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
 
         dkt_p = jax.lax.dot_general(  # (Tt, d) = ds_t^T @ q
             ds_t, qq, (((0,), (0,)), ((), ()))) * scale
-        dvt_p = jax.lax.dot_general(  # (Tt, d) = p_t^T @ do
-            pt, do, (((0,), (0,)), ((), ())))
+        pt_d = pt * keep_t if keep_t is not None else pt
+        dvt_p = jax.lax.dot_general(  # (Tt, d) = p_t_dropped^T @ do
+            pt_d, do, (((0,), (0,)), ((), ())))
 
         @pl.when(i == 0)
         def _init():
@@ -216,6 +249,7 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
         kernel,
         grid=(b, h, nc),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             cs(0),
             cs(-1), cs(0), cs(1),
             _text_spec(tt, d),
@@ -241,23 +275,24 @@ def _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, out_g, lse, delta,
         ],
         interpret=interpret,
     )(
-        to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
+        seed, to_chunks(q), to_chunks(k), to_chunks(k), to_chunks(k), k_text,
         to_chunks(v), to_chunks(v), to_chunks(v), v_text, txm, bandm,
         to_chunks(out_g), lse, delta,
     )
     return dq.reshape(b, h, t, d), dkt, dvt
 
 
-def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, window: int,
-                  interpret: bool):
+def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, seed, window: int,
+                  rate: float, interpret: bool):
     """Key-chunk pass: dk/dv from the three neighbouring query chunks."""
     b, h, t, d = q.shape
     c = window // 2
     nc = t // c
     scale = np.float32(1.0 / np.sqrt(d))
 
-    def kernel(k_r, v_r, m_r, qp, qc, qn, dop, doc, don, lp, lc, ln,
+    def kernel(seed_r, k_r, v_r, m_r, qp, qc, qn, dop, doc, don, lp, lc, ln,
                dp_, dc_, dn_, dk, dv):
+        bi, hi = pl.program_id(0), pl.program_id(1)
         j = pl.program_id(2)
         n_j = pl.num_programs(2)
         kk = k_r[0, 0, 0]
@@ -288,10 +323,24 @@ def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, window: int,
             dp = jax.lax.dot_general(
                 do, vv, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                # regenerate query chunk i_q's full (c, 3c) band mask (the
+                # forward's first draw under its lane) and slice the column
+                # block where key chunk j sits: offsets -1/0/+1 land in
+                # blocks 2/1/0 of the band
+                lane = (bi * h + hi) * nc + i_q
+                keep_full = _dropout_mask((c, 3 * c), rate, seed_r[0],
+                                          lane, interpret)
+                blk = 1 - off
+                keep = keep_full[:, blk * c : (blk + 1) * c]
+                dp = dp * keep
+                p_d = p * keep
+            else:
+                p_d = p
             ds = p * (dp - d_i)
 
-            dv_acc += w * jax.lax.dot_general(  # p^T @ do
-                p, do, (((0,), (0,)), ((), ())))
+            dv_acc += w * jax.lax.dot_general(  # p_dropped^T @ do
+                p_d, do, (((0,), (0,)), ((), ())))
             dk_acc += w * scale * jax.lax.dot_general(  # ds^T @ q
                 ds, qq, (((0,), (0,)), ((), ())))
 
@@ -308,6 +357,7 @@ def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, window: int,
         kernel,
         grid=(b, h, nc),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
             cs(0), cs(0),                    # k_j, v_j
             _spm_spec(c),                    # k_j's validity
             cs(-1), cs(0), cs(1),            # q neighbours
@@ -329,7 +379,7 @@ def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, window: int,
         ],
         interpret=interpret,
     )(
-        to_chunks(k), to_chunks(v), spm,
+        seed, to_chunks(k), to_chunks(v), spm,
         to_chunks(q), to_chunks(q), to_chunks(q),
         to_chunks(out_g), to_chunks(out_g), to_chunks(out_g),
         lse, lse, lse, delta, delta, delta,
@@ -337,21 +387,23 @@ def _bwd_dkv_call(q, k, v, spm, out_g, lse, delta, window: int,
     return dk.reshape(b, h, t, d), dv.reshape(b, h, t, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
-def _banded_attention(q, k, v, k_text, v_text, txm, bandm, spm, window,
-                      interpret):
-    out, _ = _fwd_call(q, k, v, k_text, v_text, txm, bandm, window, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _banded_attention(q, k, v, k_text, v_text, txm, bandm, spm, seed,
+                      window, rate, interpret):
+    out, _ = _fwd_call(q, k, v, k_text, v_text, txm, bandm, seed, window,
+                       rate, interpret)
     return out
 
 
-def _banded_fwd(q, k, v, k_text, v_text, txm, bandm, spm, window, interpret):
-    out, lse = _fwd_call(q, k, v, k_text, v_text, txm, bandm, window,
-                         interpret)
-    return out, (q, k, v, k_text, v_text, txm, bandm, spm, out, lse)
+def _banded_fwd(q, k, v, k_text, v_text, txm, bandm, spm, seed, window,
+                rate, interpret):
+    out, lse = _fwd_call(q, k, v, k_text, v_text, txm, bandm, seed, window,
+                         rate, interpret)
+    return out, (q, k, v, k_text, v_text, txm, bandm, spm, seed, out, lse)
 
 
-def _banded_bwd(window, interpret, residuals, g):
-    q, k, v, k_text, v_text, txm, bandm, spm, out, lse = residuals
+def _banded_bwd(window, rate, interpret, residuals, g):
+    q, k, v, k_text, v_text, txm, bandm, spm, seed, out, lse = residuals
     b, h, t, d = q.shape
     c = window // 2
     nc = t // c
@@ -360,10 +412,11 @@ def _banded_bwd(window, interpret, residuals, g):
     delta = delta.reshape(b, h, nc, 1, c)
 
     dq, dkt, dvt = _bwd_dq_call(q, k, v, k_text, v_text, txm, bandm, g, lse,
-                                delta, window, interpret)
-    dk, dv = _bwd_dkv_call(q, k, v, spm, g, lse, delta, window, interpret)
+                                delta, seed, window, rate, interpret)
+    dk, dv = _bwd_dkv_call(q, k, v, spm, g, lse, delta, seed, window, rate,
+                           interpret)
     return (dq, dk, dv, dkt.astype(k_text.dtype), dvt.astype(v_text.dtype),
-            None, None, None)
+            None, None, None, None)
 
 
 _banded_attention.defvjp(_banded_fwd, _banded_bwd)
@@ -378,6 +431,8 @@ def banded_attention(
     text_mask: jnp.ndarray,
     window: int,
     speech_mask: jnp.ndarray | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused banded attention for the speech queries (differentiable).
@@ -388,11 +443,23 @@ def banded_attention(
         text_mask:      (B, Tt) validity of text tokens
         window:         full window size (band = +/- window//2)
         speech_mask:    optional (B, T) validity of speech keys (padding)
+        dropout_rate / dropout_rng: in-kernel attention-prob dropout (the
+            reference trains Longformer attention with dropout,
+            fsp2_conformer.yaml transformer-attn-dropout-rate); the mask is
+            regenerated in both backward kernels from one int32 seed
     Returns:
         (B, H, T, d) attention outputs for the speech queries.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 needs dropout_rng")
+        seed = jax.random.randint(
+            dropout_rng, (1,), minval=0, maxval=np.iinfo(np.int32).max,
+            dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
     b, h, t, d = q.shape
     c = window // 2
     if t % c != 0:
@@ -417,5 +484,5 @@ def banded_attention(
     nxt = jnp.concatenate([m[:, 1:], zero], axis=1)
     bandm = jnp.concatenate([prev, m, nxt], axis=2)[:, :, None, :]
     spm = m[:, :, None, :]
-    return _banded_attention(q, k, v, k_text, v_text, txm, bandm, spm,
-                             window, interpret)
+    return _banded_attention(q, k, v, k_text, v_text, txm, bandm, spm, seed,
+                             window, float(dropout_rate), interpret)

@@ -49,23 +49,25 @@ def _specs(l, d, tl):
     return mat, sq, msk, row, seed
 
 
-def _random_bits(shape, seed, bi, hi, interpret: bool):
-    """uint32 stream keyed by (seed, b, h): the hardware PRNG on TPU, a
+def _random_bits(shape, seed, lane, interpret: bool, offset: int = 0):
+    """uint32 stream keyed by (seed, lane): the hardware PRNG on TPU, a
     counter-based hash in interpret mode (prng_seed has no CPU lowering).
     Forward and backward call this with identical keys, so the dropout
-    mask regenerates exactly."""
+    mask regenerates exactly.  ``lane`` folds the grid coordinates into one
+    integer (Mosaic takes at most two seed values); ``offset`` distinguishes
+    several draws under the same lane in interpret mode (the hardware PRNG
+    stream advances between draws by itself)."""
     if not interpret:
-        # Mosaic takes at most two seed values: fold (b, h) into one
-        pltpu.prng_seed(seed, bi * 4096 + hi)
+        pltpu.prng_seed(seed, lane)
         bits = pltpu.prng_random_bits(shape)
         return bits.astype(jnp.uint32) if bits.dtype != jnp.uint32 else bits
     # xxhash-style integer mix over a flat counter
     n = int(np.prod(shape))
     ctr = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+    ctr = ctr + np.uint32(offset)
     x = (ctr * np.uint32(2654435761)
          + seed.astype(jnp.uint32) * np.uint32(2246822519)
-         + bi.astype(jnp.uint32) * np.uint32(374761393)
-         + hi.astype(jnp.uint32) * np.uint32(3266489917))
+         + jnp.asarray(lane).astype(jnp.uint32) * np.uint32(374761393))
     for shift, mult in ((15, 2246822519), (13, 3266489917)):
         x = x ^ (x >> np.uint32(shift))
         x = x * np.uint32(mult)
@@ -73,9 +75,10 @@ def _random_bits(shape, seed, bi, hi, interpret: bool):
     return x.reshape(shape)
 
 
-def _dropout_mask(shape, rate: float, seed, bi, hi, interpret: bool):
+def _dropout_mask(shape, rate: float, seed, lane, interpret: bool,
+                  offset: int = 0):
     """keep-mask / keep_prob from the seeded in-kernel PRNG stream."""
-    bits = _random_bits(shape, seed, bi, hi, interpret)
+    bits = _random_bits(shape, seed, lane, interpret, offset)
     threshold = np.uint32(int(rate * 0xFFFFFFFF))
     keep = (bits >= threshold).astype(jnp.float32)
     return keep * np.float32(1.0 / (1.0 - rate))
@@ -102,7 +105,7 @@ def _fwd_call(q_u, k, v, bias, mask, seed, rate: float, interpret: bool):
         # espnet re-zeroes masked columns after softmax (attention.py:64-96)
         p = jnp.where(valid, p, 0.0)
         if rate > 0.0:
-            p = p * _dropout_mask(p.shape, rate, seed_r[0], bi, hi,
+            p = p * _dropout_mask(p.shape, rate, seed_r[0], bi * 4096 + hi,
                                   interpret)
         out[0, 0] = jax.lax.dot_general(
             p, v_r[0, 0], (((1,), (0,)), ((), ())),
@@ -145,7 +148,7 @@ def _bwd_call(q_u, k, v, bias, mask, seed, out, lse, g, rate: float,
         p = jnp.exp(s - l_r[0, 0, 0][:, None])
         p = jnp.where(valid, p, 0.0)
         if rate > 0.0:
-            keep = _dropout_mask(p.shape, rate, seed_r[0], bi, hi,
+            keep = _dropout_mask(p.shape, rate, seed_r[0], bi * 4096 + hi,
                                  interpret)
         else:
             keep = None

@@ -18,6 +18,14 @@ float32 rounding; the front-end needs no VJP because features are data
 
 The frequency axis is zero-padded to a lane multiple; padded bins get
 amp = 1e-5 but hit zero rows of the padded mel matrix, contributing nothing.
+
+STATUS: experimental, NOT the production path.  On a v5e chip this kernel
+measures 3-4x slower than expressing the same chain as two plain XLA
+matmuls (LogMelFrontend.fused; docs/KERNEL_BENCH.json frontend_* rows) —
+XLA's own fusion of DFT-matmul + elementwise + mel-matmul beats this
+hand-written schedule, and the front-end is ~free in the full training step
+either way (docs/STEP_BENCH.json nofrontend vs prod).  Kept for its golden
+tests and as a Pallas reference; nothing enables it by default.
 """
 
 from __future__ import annotations

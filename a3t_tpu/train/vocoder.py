@@ -128,14 +128,20 @@ class VocoderData:
             wav = np.asarray(wav[:n], np.float32)
             bucket = max(bucket, n)
             self.utts.append((wav, None))
-        # round the shared pad length up so all utts share one compile
+        # round the shared pad length up so all utts share one compile, and
+        # batch the device calls — per-utt dispatch through a remote tunnel
+        # costs more than the compute
         bucket = int(np.ceil(bucket / (64 * self.hop))) * 64 * self.hop
-        for i, (wav, _) in enumerate(self.utts):
-            padded = np.zeros(bucket, np.float32)
-            padded[: len(wav)] = wav
-            mel = np.asarray(fe(padded[None]))[0]  # (1+bucket//hop, n_mels)
-            n_frames = len(wav) // self.hop  # drop the trailing center frame
-            self.utts[i] = (wav, mel[:n_frames])
+        chunk = 32
+        for c0 in range(0, len(self.utts), chunk):
+            group = self.utts[c0 : c0 + chunk]
+            padded = np.zeros((chunk, bucket), np.float32)
+            for j, (wav, _) in enumerate(group):
+                padded[j, : len(wav)] = wav
+            mel = np.asarray(fe(padded))  # (chunk, 1+bucket//hop, n_mels)
+            for j, (wav, _) in enumerate(group):
+                n_frames = len(wav) // self.hop  # drop trailing center frame
+                self.utts[c0 + j] = (wav, mel[j, :n_frames])
         mels = np.concatenate([m for _, m in self.utts], axis=0)
         self.mel_mean = mels.mean(axis=0)
         self.mel_std = np.maximum(mels.std(axis=0), 1e-5)

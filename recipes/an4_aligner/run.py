@@ -112,6 +112,34 @@ def load_an4(workdir: str):
     return utts, lexicon
 
 
+def load_soak_mix(data_dir: str, lexicon: dict, n_utts: int, seed: int = 0):
+    """Mix-in utterances from the soak synthetic corpus (VERDICT r2 #5:
+    a corpus-scale starter needs more than 19.4 s — the formant-synthesized
+    corpus shares the CMU phone inventory, so its ~25 min of speech can
+    flat-start the models while the real AN4 audio anchors them).
+
+    Returns [(uid, wav, words)] where each "word" is a phone mapped through
+    an identity lexicon entry, so the HTK path and to_phones() treat the
+    phone transcripts uniformly.
+    """
+    from a3t_tpu.data.fileio import SoundScpReader, read_2column_text
+
+    wav_r = SoundScpReader(os.path.join(data_dir, "wav.scp"))
+    text = read_2column_text(os.path.join(data_dir, "text"))
+    uids = sorted(u for u in wav_r.keys() if u in text)
+    rng = np.random.default_rng(seed)
+    picked = [uids[i] for i in rng.permutation(len(uids))[:n_utts]]
+    utts = []
+    for uid in picked:
+        fs, wav = wav_r[uid]
+        assert fs == 16000, (uid, fs)
+        words = [re.sub(r"\d", "", p).upper() for p in text[uid].split()]
+        for w in words:
+            lexicon.setdefault(w, [w])
+        utts.append((f"soak_{uid}", wav.astype(np.float32), words))
+    return utts
+
+
 def to_phones(words: list[str], lexicon: dict) -> list[str]:
     """sil word1 word2 ... sil, lower-cased phones."""
     phones = ["sil"]
@@ -395,6 +423,12 @@ def main():
     ap.add_argument("--out", default="exp/an4_aligner")
     ap.add_argument("--mixtures", type=int, default=2)
     ap.add_argument("--em-iters", type=int, default=10)
+    ap.add_argument("--mix-soak", default="",
+                    help="soak-corpus train dir to mix into BOTH systems' "
+                         "training (native + HTK); evaluation stays on the "
+                         "real AN4 utterances")
+    ap.add_argument("--mix-utts", type=int, default=600)
+    ap.add_argument("--htk-iters", type=int, default=8)
     args = ap.parse_args()
 
     from a3t_tpu.align.native import NativeAligner
@@ -403,8 +437,14 @@ def main():
     workdir = tempfile.mkdtemp(prefix="an4_")
     try:
         utts, lexicon = load_an4(workdir)
-        print(f"{len(utts)} real utterances, "
-              f"{sum(len(w) / 16000 for _, w, _ in utts):.1f}s total")
+        real_utts = list(utts)
+        if args.mix_soak:
+            mix = load_soak_mix(args.mix_soak, lexicon, args.mix_utts)
+            utts = real_utts + mix
+            print(f"mixed in {len(mix)} soak utterances "
+                  f"({sum(len(w) / 16000 for _, w, _ in mix):.0f}s)")
+        print(f"{len(real_utts)} real utterances, "
+              f"{sum(len(w) / 16000 for _, w, _ in real_utts):.1f}s real")
 
         phones = sorted({p for _, _, ws in utts
                          for p in to_phones(ws, lexicon)})
@@ -413,15 +453,18 @@ def main():
             [(wav, to_phones(words, lexicon)) for _, wav, words in utts],
             n_iterations=args.em_iters, n_mixtures=args.mixtures,
             verbose=True)
-        aligner.save(os.path.join(args.out, "aligner_an4.bin"))
+        name = "aligner_mix.bin" if args.mix_soak else "aligner_an4.bin"
+        aligner.save(os.path.join(args.out, name))
 
-        htk_out = run_htk(utts, lexicon, workdir)
-        diffs, per_utt, endpoint = compare(utts, lexicon, htk_out, aligner)
+        htk_out = run_htk(utts, lexicon, workdir, n_herest=args.htk_iters)
+        diffs, per_utt, endpoint = compare(real_utts, lexicon, htk_out,
+                                           aligner)
 
         report = {
-            "n_utterances": len(utts),
+            "mixed_soak_utts": len(utts) - len(real_utts),
+            "n_utterances": len(real_utts),
             "total_seconds": round(
-                sum(len(w) / 16000 for _, w, _ in utts), 1),
+                sum(len(w) / 16000 for _, w, _ in real_utts), 1),
             "n_boundaries": int(len(diffs)),
             "median_abs_diff_ms": float(np.median(diffs)),
             "mean_abs_diff_ms": float(np.mean(diffs)),
@@ -429,7 +472,7 @@ def main():
             "within_20ms_pct": float((diffs <= 20).mean() * 100),
             "within_30ms_pct": float((diffs <= 30).mean() * 100),
             "endpoint_accuracy_vs_energy": endpoint,
-            "splice_word_onset_accuracy": splice_eval(utts, lexicon,
+            "splice_word_onset_accuracy": splice_eval(real_utts, lexicon,
                                                       aligner),
             "final_ll_per_frame": lls[-1],
             "per_utt_median_ms": per_utt,
