@@ -45,14 +45,16 @@ class XVectorNet(nn.Module):
         """feats (B, T, n_mels) -> (embedding (B, E), logits|None)."""
         c = self.config
         h = feats
+        # LayerNorm rather than the classic BatchNorm: no train/eval
+        # running-stats drift (small-batch BN statistics were measurably
+        # unreliable here) and no mutable state to thread through jit
         for i, (k, dil) in enumerate(zip(c.kernels, c.dilations)):
             out_ch = c.channels if i < len(c.kernels) - 1 else c.channels * 3
             h = nn.Conv(out_ch, (k,), kernel_dilation=dil, padding="SAME",
                         kernel_init=xavier(), bias_init=zeros,
                         name=f"tdnn_{i}")(h)
             h = nn.relu(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.95,
-                             name=f"bn_{i}")(h)
+            h = nn.LayerNorm(name=f"bn_{i}")(h)
 
         # statistics pooling over valid frames
         if frame_mask is None:
@@ -71,8 +73,7 @@ class XVectorNet(nn.Module):
         logits = None
         if c.n_speakers > 0:
             h2 = nn.relu(emb)
-            h2 = nn.BatchNorm(use_running_average=not train, momentum=0.95,
-                              name="bn_embed")(h2)
+            h2 = nn.LayerNorm(name="bn_embed")(h2)
             h2 = nn.Dense(c.embed_dim, kernel_init=xavier(), bias_init=zeros,
                           name="embed_b")(h2)
             h2 = nn.relu(h2)
@@ -92,6 +93,187 @@ def speaker_classification_loss(logits, speaker_ids):
     return nll.mean(), acc
 
 
+def train_xvector(
+    data_dir: str,
+    frontend,
+    out_dir: str,
+    config: Optional[XVectorConfig] = None,
+    crop_frames: int = 256,
+    batch_size: int = 32,
+    total_steps: int = 3000,
+    lr: float = 1e-3,
+    seed: int = 0,
+    eval_data_dir: Optional[str] = None,
+    log_fn=print,
+):
+    """Train the speaker classifier on a data dir (wav.scp + utt2spk).
+
+    The reference uses a pretrained Kaldi nnet3 x-vector extractor
+    (0008_sitw_v2_1a, egs2/TEMPLATE/tts1/tts.sh:332-370); corpora without
+    that artifact train this TDNN from scratch.  Returns
+    (model, variables, report) and writes ``xvector.npz`` params +
+    ``xvector.json`` metadata into ``out_dir``.
+    """
+    import json
+    import os
+
+    import optax
+
+    from a3t_tpu.data.fileio import SoundScpReader, read_2column_text
+
+    os.makedirs(out_dir, exist_ok=True)
+    fe = frontend
+    hop = fe.config.hop_length
+
+    def load_corpus(d):
+        reader = SoundScpReader(os.path.join(d, "wav.scp"))
+        utt2spk = read_2column_text(os.path.join(d, "utt2spk"))
+        feats_fn = jax.jit(lambda a: fe(a)[0])
+        items, bucket = [], 0
+        for uid in utt2spk:
+            if uid not in reader:
+                continue
+            fs, wav = reader[uid]
+            n = (len(wav) // hop) * hop
+            bucket = max(bucket, n)
+            items.append((utt2spk[uid], wav[:n].astype(np.float32)))
+        bucket = int(np.ceil(bucket / (64 * hop))) * 64 * hop
+        out, chunk = [], 32
+        for c0 in range(0, len(items), chunk):
+            group = items[c0 : c0 + chunk]
+            padded = np.zeros((chunk, bucket), np.float32)
+            for j, (_, wav) in enumerate(group):
+                padded[j, : len(wav)] = wav
+            mel = np.asarray(feats_fn(jnp.asarray(padded)))
+            for j, (spk, wav) in enumerate(group):
+                out.append((spk, mel[j, : len(wav) // hop]))
+        return out
+
+    train_items = load_corpus(data_dir)
+    # corpus MVN on the input log-mels: without it the ~-6-mean features
+    # drive the xavier-init conv stack into dead relus and nothing trains
+    allm = np.concatenate([m for _, m in train_items], axis=0)
+    mel_mean = allm.mean(axis=0)
+    mel_std = np.maximum(allm.std(axis=0), 1e-5)
+    train_items = [(s, (m - mel_mean) / mel_std) for s, m in train_items]
+    speakers = sorted({s for s, _ in train_items})
+    spk_id = {s: i for i, s in enumerate(speakers)}
+    cfg = dataclasses.replace(
+        config or XVectorConfig(n_mels=fe.config.n_mels),
+        n_speakers=len(speakers))
+    model = XVectorNet(cfg)
+
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    # variable-length training (three compiled shapes) so the statistics
+    # pooling generalizes to full-utterance extraction at inference
+    crop_lengths = (crop_frames, 2 * crop_frames, 4 * crop_frames)
+
+    def sample_batch(n_frames):
+        mel = np.zeros((batch_size, n_frames, cfg.n_mels), np.float32)
+        sid = np.zeros((batch_size,), np.int32)
+        for b in range(batch_size):
+            spk, m = train_items[rng.integers(len(train_items))]
+            if m.shape[0] <= n_frames:
+                reps = int(np.ceil(n_frames / max(m.shape[0], 1)))
+                m = np.tile(m, (reps, 1))
+            f0 = int(rng.integers(m.shape[0] - n_frames + 1))
+            mel[b] = m[f0 : f0 + n_frames]
+            sid[b] = spk_id[spk]
+        return mel, sid
+
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        key, jnp.zeros((batch_size, crop_frames, cfg.n_mels)))
+    params = variables["params"]
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, mel, sid):
+        def loss_fn(p):
+            emb, logits = model.apply({"params": p}, mel, train=True)
+            loss, acc = speaker_classification_loss(logits, sid)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss, acc
+
+    history = []
+    for i in range(1, total_steps + 1):
+        mel, sid = sample_batch(crop_lengths[int(rng.integers(3))])
+        params, opt, loss, acc = step(
+            params, opt, jnp.asarray(mel), jnp.asarray(sid))
+        if i % 200 == 0 or i == total_steps:
+            history.append({"step": i, "loss": round(float(loss), 4),
+                            "acc": round(float(acc), 4)})
+            log_fn(f"xvector step {i}/{total_steps} "
+                   f"loss {float(loss):.3f} acc {float(acc):.3f}")
+
+    variables = {"params": params}
+
+    report = {"n_speakers": len(speakers), "speakers": speakers,
+              "train_history": history}
+    if eval_data_dir:
+        # held-out utterances, same speaker pool: full-utterance eval
+        eval_items = load_corpus(eval_data_dir)
+        eval_items = [(s, (m - mel_mean) / mel_std)
+                      for s, m in eval_items if s in spk_id]
+        apply_fn = jax.jit(lambda mel, mask: model.apply(
+            variables, mel, mask, train=False))
+        correct = 0
+        max_f = max(m.shape[0] for _, m in eval_items)
+        max_f = int(np.ceil(max_f / 64)) * 64
+        for spk, m in eval_items:
+            mel = np.zeros((1, max_f, cfg.n_mels), np.float32)
+            mel[0, : m.shape[0]] = m
+            mask = jnp.arange(max_f)[None, :] < m.shape[0]
+            _, logits = apply_fn(jnp.asarray(mel), mask)
+            correct += int(np.argmax(np.asarray(logits)[0]) == spk_id[spk])
+        report["eval_n"] = len(eval_items)
+        report["eval_acc"] = round(correct / max(len(eval_items), 1), 4)
+        log_fn(f"xvector held-out accuracy: {report['eval_acc']} "
+               f"({correct}/{len(eval_items)})")
+
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    np.savez(os.path.join(out_dir, "xvector.npz"),
+             **{jax.tree_util.keystr(k): np.asarray(v) for k, v in flat})
+    with open(os.path.join(out_dir, "xvector.json"), "w") as f:
+        json.dump({**report,
+                   "config": dataclasses.asdict(cfg),
+                   "mel_mean": mel_mean.tolist(),
+                   "mel_std": mel_std.tolist(),
+                   "n_mels": fe.config.n_mels}, f, indent=1)
+    return model, variables, report
+
+
+def load_xvector(out_dir: str):
+    """Load a train_xvector() artifact -> (model, variables, mel_mvn).
+
+    ``mel_mvn`` is the (mean, std) pair the input log-mels must be
+    normalized with before ``model.embed``.
+    """
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "xvector.json")) as f:
+        meta = json.load(f)
+    cfg = XVectorConfig(**{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in meta["config"].items()})
+    model = XVectorNet(cfg)
+    data = np.load(os.path.join(out_dir, "xvector.npz"))
+    sample = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, cfg.n_mels)), train=False))
+    flat, tree = jax.tree_util.tree_flatten_with_path(sample)
+    leaves = [np.asarray(data[jax.tree_util.keystr(k)]) for k, _ in flat]
+    mvn = (np.asarray(meta["mel_mean"], np.float32),
+           np.asarray(meta["mel_std"], np.float32))
+    return model, jax.tree_util.tree_unflatten(tree, leaves), mvn
+
+
 def build_spk2xvector(
     model: XVectorNet,
     variables: dict,
@@ -99,9 +281,15 @@ def build_spk2xvector(
     dataset,
     out_path: Optional[str] = None,
     max_frames: int = 1024,
+    mel_mvn: Optional[tuple] = None,
 ) -> dict[str, np.ndarray]:
     """Per-speaker averaged x-vectors over a corpus
-    (aggregate_output/generate_spk2xv.py analogue; saved as .npz)."""
+    (aggregate_output/generate_spk2xv.py analogue; saved as .npz).
+
+    ``mel_mvn``: the (mean, std) the extractor was trained with
+    (load_xvector's third return) — required for extractors trained by
+    :func:`train_xvector`.
+    """
     import jax.numpy as jnp
 
     sums: dict[str, np.ndarray] = {}
@@ -118,6 +306,8 @@ def build_spk2xvector(
         n = min(len(wav), len(pad_wav))
         pad_wav[:n] = wav[:n]
         feats, _ = frontend(jnp.asarray(pad_wav[None]))
+        if mel_mvn is not None:
+            feats = (feats - mel_mvn[0]) / mel_mvn[1]
         mask = jnp.arange(feats.shape[1])[None, :] < n_f
         emb = np.asarray(embed_fn(feats, mask))[0]
         if spk in sums:

@@ -43,10 +43,14 @@ class FS2Batcher:
     """Static-shape batches for FastSpeech2 training."""
 
     def __init__(self, dataset: A3TDataset, frontend: LogMelConfig,
-                 config: FS2BatcherConfig = FS2BatcherConfig()):
+                 config: FS2BatcherConfig = FS2BatcherConfig(),
+                 spk2xvector: "dict | None" = None):
         self.dataset = dataset
         self.fe = frontend
         self.config = config
+        # per-speaker embedding conditioning (the reference's pretrained
+        # Kaldi x-vectors, tts.sh:332-370); keys are utt2spk speakers
+        self.spk2xvector = spk2xvector
         self._buckets: list[list[str]] = [[] for _ in config.text_buckets]
         bounds = sorted(config.text_buckets)
         for uid in dataset.uids:
@@ -84,9 +88,15 @@ class FS2Batcher:
         energy = np.zeros((b, t_pad, 1), np.float32)
         audio = np.zeros((b, (cfg.max_feat_len - 1) * hop), np.float32)
         audio_lengths = np.zeros(b, np.int32)
+        spembs = None
+        if self.spk2xvector is not None:
+            edim = len(next(iter(self.spk2xvector.values())))
+            spembs = np.zeros((b, edim), np.float32)
 
         for i, uid in enumerate(uids):
             item = self.dataset[uid]
+            if spembs is not None:
+                spembs[i] = self.spk2xvector[item.get("speaker", uid)]
             wav = item["audio"][: audio.shape[1]]
             ids = item["text_ids"]
             starts = np.floor(c.fs * item["align_start_sec"] / hop).astype(int)
@@ -112,11 +122,14 @@ class FS2Batcher:
             audio[i, : len(wav)] = wav
             audio_lengths[i] = len(wav)
 
-        return dict(
+        out = dict(
             text=text, text_mask=text_mask, durations=durations,
             pitch=pitch, energy=energy, audio=audio,
             audio_lengths=audio_lengths,
         )
+        if spembs is not None:
+            out["spembs"] = spembs
+        return out
 
 
 def make_fs2_train_step(model: FastSpeech2, frontend: LogMelFrontend,
@@ -130,6 +143,7 @@ def make_fs2_train_step(model: FastSpeech2, frontend: LogMelFrontend,
             {"params": params, "batch_stats": batch_stats},
             batch["text"], batch["text_mask"],
             speech=mel if model.config.use_gst else None,
+            spembs=batch.get("spembs"),
             durations=batch["durations"], pitch=batch["pitch"],
             energy=batch["energy"], train=True,
             rngs={"dropout": rng}, mutable=["batch_stats"],
@@ -154,6 +168,7 @@ def create_fs2_state(model: FastSpeech2, tx, sample_batch) -> TrainState:
         speech=jnp.zeros(
             (sample_batch["text"].shape[0], 64, model.config.odim))
         if model.config.use_gst else None,
+        spembs=sample_batch.get("spembs"),
         durations=sample_batch["durations"], pitch=sample_batch["pitch"],
         energy=sample_batch["energy"], train=False)
     return TrainState(
@@ -175,6 +190,9 @@ class FS2TaskConfig:
     train_data_dir: str = ""
     valid_data_dir: str = ""
     token_list: str = ""
+    # .npz of per-speaker embeddings (models/xvector.py build_spk2xvector);
+    # when set, batches carry spembs and the model conditions on them
+    spk_xvector: str = ""
     exp_dir: str = "exp/fs2"
     frontend: LogMelConfig = dataclasses.field(default_factory=LogMelConfig)
     model: FastSpeech2Config = dataclasses.field(
@@ -232,11 +250,17 @@ class FS2Task:
         fe = LogMelFrontend(cfg.frontend)
         tx = make_optimizer(cfg.optim)
 
+        spk2xv = None
+        if cfg.spk_xvector:
+            from a3t_tpu.models.xvector import load_spk2xvector
+
+            spk2xv = load_spk2xvector(cfg.spk_xvector)
         batcher = FS2Batcher(
-            A3TDataset(cfg.train_data_dir, conv), cfg.frontend, cfg.batcher)
+            A3TDataset(cfg.train_data_dir, conv), cfg.frontend, cfg.batcher,
+            spk2xvector=spk2xv)
         valid_batcher = (
             FS2Batcher(A3TDataset(cfg.valid_data_dir, conv), cfg.frontend,
-                       cfg.batcher)
+                       cfg.batcher, spk2xvector=spk2xv)
             if cfg.valid_data_dir else None)
 
         def to_device(it):
@@ -257,6 +281,7 @@ class FS2Task:
                 {"params": params, "batch_stats": batch_stats},
                 batch["text"], batch["text_mask"],
                 speech=mel if model.config.use_gst else None,
+                spembs=batch.get("spembs"),
                 durations=batch["durations"], pitch=batch["pitch"],
                 energy=batch["energy"], train=False)
             targets = dict(mel=mel, durations=batch["durations"],

@@ -246,26 +246,58 @@ def stage5_eval(args, eval_dirs, workdir, exp):
           f"(span frames {res.old_span_boundary})", flush=True)
 
 
-def stage6_fs2(args, train_dir, workdir):
-    """Train the FastSpeech2 duration predictor on the soak corpus (the
-    reference's pretrained-FS2 role in editing, sedit_inference.py:398-424)."""
-    from a3t_tpu.dsp import LogMelConfig
+def stage6_fs2(args, train_dir, eval_seen_dir, workdir):
+    """Speaker model + FastSpeech2 duration predictor on the soak corpus.
+
+    (a) Train the x-vector TDNN speaker classifier (the reference's
+        pretrained Kaldi 0008_sitw_v2_1a role, tts.sh:332-370), score it on
+        held-out utterances of the training speakers, and build the
+        per-speaker spk2xvector dict (generate_spk2xv.py analogue).
+    (b) Train FastSpeech2 *conditioned on those embeddings* (the
+        reference's duration path integrates x-vectors,
+        sedit_inference.py:405-420).
+    """
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
     from a3t_tpu.models.fastspeech2 import (
         FastSpeech2Config, transformer_stack_config)
+    from a3t_tpu.models.xvector import build_spk2xvector, train_xvector
     from a3t_tpu.tasks.fs2 import FS2BatcherConfig, FS2Task, FS2TaskConfig
+    from a3t_tpu.text.tokenizer import TokenIDConverter, build_token_list
+    from a3t_tpu.data.fileio import read_2column_text
     from a3t_tpu.train import OptimConfig, TrainerConfig
 
-    print("== stage 6: FastSpeech2 duration-model training ==", flush=True)
+    fe_cfg = LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
+                          win_length=800, n_mels=80, fmin=80.0,
+                          fmax=7600.0)
+    print("== stage 6a: x-vector speaker model ==", flush=True)
+    xv_dir = os.path.join(workdir, "exp_xvector")
+    fe = LogMelFrontend(fe_cfg)
+    model, variables, report = train_xvector(
+        train_dir, fe, xv_dir, total_steps=args.xvector_steps,
+        eval_data_dir=eval_seen_dir)
+
+    from a3t_tpu.models.xvector import load_xvector
+
+    _, _, mel_mvn = load_xvector(xv_dir)
+    texts = read_2column_text(os.path.join(train_dir, "text"))
+    conv = TokenIDConverter(build_token_list(texts.values()))
+    spk2xv_path = os.path.join(xv_dir, "spk2xvector.npz")
+    build_spk2xvector(model, variables, fe,
+                      A3TDataset(train_dir, conv), out_path=spk2xv_path,
+                      mel_mvn=mel_mvn)
+
+    print("== stage 6b: FastSpeech2 duration-model training ==", flush=True)
     stack = transformer_stack_config(adim=256, aheads=2, layers=4,
                                      units=1024, dropout=0.2)
     cfg = FS2TaskConfig(
         train_data_dir=train_dir,
         exp_dir=os.path.join(workdir, "exp_fs2"),
-        frontend=LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
-                              win_length=800, n_mels=80, fmin=80.0,
-                              fmax=7600.0),
+        spk_xvector=spk2xv_path,
+        frontend=fe_cfg,
         model=FastSpeech2Config(adim=256, encoder=stack, decoder=stack,
-                                postnet_layers=2, max_feat_len=448),
+                                postnet_layers=2, max_feat_len=448,
+                                spk_embed_dim=192),
         batcher=FS2BatcherConfig(batch_size=32, max_feat_len=448),
         optim=OptimConfig(model_size=256, warmup_steps=1000),
         trainer=TrainerConfig(
@@ -291,15 +323,44 @@ def stage7_edit_demo(args, eval_dir, workdir, exp):
     model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
     texts = read_2column_text(os.path.join(eval_dir, "text"))
     lexicon = {p.upper(): [p] for t in texts.values() for p in t.split()}
-    duration_fn = load_duration_fn(os.path.join(workdir, "exp_fs2"))
-    editor = SpeechEditor(model, variables, cfg.frontend, conv,
-                          lexicon=lexicon, duration_fn=duration_fn)
     ds = A3TDataset(eval_dir, conv)
     aligner = FileAlignmentSource(eval_dir)
     out_dir = os.path.join(workdir, "demo")
     os.makedirs(out_dir, exist_ok=True)
 
     uid = ds.uids[0]
+    # condition duration prediction on the edited speaker's trained
+    # x-vector (reference: spk2xvector dicts fed to duration_predict,
+    # sedit_inference.py:405-420, 713-715)
+    from a3t_tpu.models.xvector import load_spk2xvector
+
+    spk2xv_path = os.path.join(workdir, "exp_xvector", "spk2xvector.npz")
+    spemb = None
+    if os.path.exists(spk2xv_path):
+        spk2xv = load_spk2xvector(spk2xv_path)
+        spk = ds[uid].get("speaker")
+        spemb = spk2xv.get(spk)
+        if spemb is None:
+            # unseen speaker: extract the x-vector from the prompt audio
+            # itself (what the pretrained-extractor path would do)
+            import jax
+
+            from a3t_tpu.dsp import LogMelFrontend
+            from a3t_tpu.models.xvector import load_xvector
+
+            xv_model, xv_vars, mel_mvn = load_xvector(
+                os.path.join(workdir, "exp_xvector"))
+            fe = LogMelFrontend(cfg.frontend)
+            wav0 = ds[uid]["audio"]
+            n = (len(wav0) // cfg.frontend.hop_length) * \
+                cfg.frontend.hop_length
+            feats, _ = jax.jit(fe)(wav0[None, :n])
+            feats = (feats - mel_mvn[0]) / mel_mvn[1]
+            spemb = np.asarray(xv_model.embed(xv_vars, feats))[0]
+    duration_fn = load_duration_fn(os.path.join(workdir, "exp_fs2"),
+                                   spembs=spemb)
+    editor = SpeechEditor(model, variables, cfg.frontend, conv,
+                          lexicon=lexicon, duration_fn=duration_fn)
     wav, words = ds[uid]["audio"], texts[uid].split()
     # replace two middle phones with three different ones
     mid = len(words) // 2
@@ -309,6 +370,7 @@ def stage7_edit_demo(args, eval_dir, workdir, exp):
     write_wav(os.path.join(out_dir, f"{uid}_replaced.wav"), FS,
               res.origin_replaced)
     rep = {"uid": uid, "old": texts[uid], "new": new_text,
+           "spemb_used": spemb is not None,
            "old_span_frames": [int(x) for x in res.old_span_boundary],
            "new_span_frames": [int(x) for x in res.new_span_boundary]}
     print(f"   edit: {rep}", flush=True)
@@ -329,6 +391,7 @@ def main():
     ap.add_argument("--stage", type=int, default=1)
     ap.add_argument("--stop-stage", type=int, default=5)
     ap.add_argument("--fs2-epochs", type=int, default=40)
+    ap.add_argument("--xvector-steps", type=int, default=2000)
     ap.add_argument("--n-utts", type=int, default=4000)
     ap.add_argument("--n-speakers", type=int, default=8)
     ap.add_argument("--align-utts", type=int, default=600)
@@ -364,7 +427,7 @@ def main():
         stage5_eval(args, {"seen": eval_seen, "unseen": eval_unseen},
                     args.workdir, exp)
     if in_range(6):
-        stage6_fs2(args, train_dir, args.workdir)
+        stage6_fs2(args, train_dir, eval_seen, args.workdir)
     if in_range(7):
         stage7_edit_demo(args, eval_seen, args.workdir, exp)
 
