@@ -153,6 +153,69 @@ class ParallelWaveGANGenerator(nn.Module):
         return x[..., 0]
 
 
+class _PWGStack(nn.Module):
+    """One dilation stack (layers_per_stack blocks, dilations 1..2^(n-1)),
+    shaped as an nn.scan body: carry = (x, c_up), per-step output = skips."""
+
+    config: PWGConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        cfg = self.config
+        x, c_up = carry
+        skips = 0.0
+        for i in range(cfg.layers // cfg.stacks):
+            x, s = PWGResidualBlock(cfg, dilation=2 ** i,
+                                    name=f"block_{i}")(x, c_up)
+            skips = skips + s
+        return (x, c_up), skips
+
+
+class ParallelWaveGANGeneratorScan(nn.Module):
+    """Scan-over-stacks formulation of the PWG generator.
+
+    Mathematically identical to :class:`ParallelWaveGANGenerator` (the
+    dilation pattern 2^(i % layers_per_stack) repeats per stack), but the
+    residual stacks are an ``nn.scan`` over one traced stack body — the
+    unrolled 30-block graph compiled prohibitively slowly through the
+    remote-compile tunnel (>30 min); this compiles the body once.  Used
+    for *training* (a3t_tpu/train/vocoder.py); the unrolled module remains
+    the import target for reference ``parallel_wavegan`` checkpoints
+    (param names block_0..block_N match the torch layout).
+    """
+
+    config: PWGConfig = PWGConfig()
+
+    @nn.compact
+    def __call__(self, c, z=None, rng: Optional[jax.Array] = None):
+        cfg = self.config
+        b, t_feats, _ = c.shape
+        t_wav = t_feats * cfg.upsample_factor
+        if z is None:
+            rng = rng if rng is not None else self.make_rng("noise")
+            z = jax.random.normal(rng, (b, t_wav, cfg.in_channels), c.dtype)
+
+        c_up = PWGUpsampleNetwork(cfg, name="upsample_net")(c)
+        x = nn.Conv(cfg.residual_channels, (1,), kernel_init=kaiming,
+                    name="first_conv")(z)
+        scan = nn.scan(
+            _PWGStack,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.stacks,
+        )
+        (x, _), skips = scan(cfg, name="stacks")((x, c_up), None)
+        x = skips.sum(axis=0) * math.sqrt(1.0 / cfg.layers)
+
+        x = nn.relu(x)
+        x = nn.Conv(cfg.skip_channels, (1,), kernel_init=kaiming,
+                    name="last_conv_1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(cfg.out_channels, (1,), kernel_init=kaiming,
+                    name="last_conv_2")(x)
+        return x[..., 0]
+
+
 class PWGDiscriminator(nn.Module):
     """Non-causal dilated-conv waveform discriminator.
 

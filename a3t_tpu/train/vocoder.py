@@ -38,7 +38,7 @@ import orbax.checkpoint as ocp
 from a3t_tpu.dsp.frontend import LogMelConfig, LogMelFrontend
 from a3t_tpu.dsp.stft import stft as _stft
 from a3t_tpu.models.pwg import (
-    ParallelWaveGANGenerator,
+    ParallelWaveGANGeneratorScan,
     PWGConfig,
     PWGDiscriminator,
 )
@@ -189,7 +189,7 @@ def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
                      skip_channels=cfg.residual_channels,
                      gate_channels=2 * cfg.residual_channels,
                      layers=cfg.layers, stacks=cfg.stacks)
-    gen = ParallelWaveGANGenerator(gcfg)
+    gen = ParallelWaveGANGeneratorScan(gcfg)
     disc = PWGDiscriminator()
 
     log_fn(f"vocoder: loading corpus {wav_scp} ...")
@@ -333,7 +333,7 @@ def load_vocoder(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
     gcfg = PWGConfig(**{k: tuple(v) if isinstance(v, list) else v
                         for k, v in meta["pwg"].items()})
     hop = int(np.prod(gcfg.upsample_scales))
-    gen = ParallelWaveGANGenerator(gcfg)
+    gen = ParallelWaveGANGeneratorScan(gcfg)
     mean = np.asarray(meta["mel_mean"], np.float32)
     std = np.asarray(meta["mel_std"], np.float32)
 

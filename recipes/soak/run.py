@@ -200,18 +200,27 @@ def stage5_eval(args, eval_dirs, workdir, exp):
     from a3t_tpu.tasks import MLMTask
 
     print("== stage 5: evaluation ==", flush=True)
-    model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(
+        exp, which=args.eval_checkpoint)
     # hop 200 @ 16 kHz = 12.5 ms frame shift
     mcd_cfg = MCDConfig(shiftms=1000.0 * cfg.frontend.hop_length
                         / cfg.frontend.fs)
 
-    report = {}
+    vocoder = None
+    if args.vocoder:
+        from a3t_tpu.train.vocoder import load_vocoder
+
+        vocoder = load_vocoder(args.vocoder)
+        print(f"   using trained vocoder {args.vocoder}", flush=True)
+
+    report = {"checkpoint": args.eval_checkpoint,
+              "vocoder": args.vocoder or "griffin-lim"}
     for split, split_dir in eval_dirs.items():
         texts = read_2column_text(os.path.join(split_dir, "text"))
         lexicon = {p.upper(): [p] for t in texts.values()
                    for p in t.split()}
         editor = SpeechEditor(model, variables, cfg.frontend, conv,
-                              lexicon=lexicon)
+                              lexicon=lexicon, vocoder=vocoder)
         ds = A3TDataset(split_dir, conv)
         aligner = FileAlignmentSource(split_dir)
         out_dir = os.path.join(workdir, "mcd_out", split)
@@ -223,7 +232,8 @@ def stage5_eval(args, eval_dirs, workdir, exp):
               f"{result['mean_mcd']:.2f} dB "
               f"(vocoder ceiling {result['vocoder_ceiling_mcd']:.2f} dB)",
               flush=True)
-    with open(os.path.join(workdir, "soak_mcd.json"), "w") as f:
+    out_json = os.path.join(workdir, args.mcd_out or "soak_mcd.json")
+    with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
 
     # edit demo on the first seen-split utterance
@@ -400,6 +410,15 @@ def main():
     ap.add_argument("--iters-per-epoch", type=int, default=100)
     ap.add_argument("--warmup-steps", type=int, default=2000)
     ap.add_argument("--batch-bins", type=int, default=3000000)
+    ap.add_argument("--vocoder", default="",
+                    help="trained vocoder dir (a3t_tpu.bin.train_vocoder) "
+                         "for stage 5; empty = Griffin-Lim fallback")
+    ap.add_argument("--eval-checkpoint", default="ave",
+                    help="which checkpoint stage 5 evaluates "
+                         "('ave' | 'latest' | epoch number)")
+    ap.add_argument("--mcd-out", default="",
+                    help="stage-5 report filename (default soak_mcd.json; "
+                         "override for steps-vs-MCD curve points)")
     ap.add_argument("--eval-utts", type=int, default=24,
                     help="cap stage-5 MCD utterances (0 = all; the MCD "
                          "extraction is CPU-bound)")
