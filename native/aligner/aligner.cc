@@ -606,6 +606,10 @@ void* mfcc_new(int sample_rate) {
   MfccConfig cfg;
   cfg.sample_rate = sample_rate;
   cfg.fmax = std::min(cfg.fmax, sample_rate / 2.0f - 100.0f);
+  // FFT must cover the 25 ms analysis window at any sample rate (the
+  // default 512 overflowed for fs > 20.48 kHz, e.g. the 24 kHz VCTK
+  // target rate): round up to the next power of two.
+  while (cfg.n_fft < cfg.win()) cfg.n_fft *= 2;
   return new MfccExtractor(cfg);
 }
 
