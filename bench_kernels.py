@@ -110,8 +110,14 @@ def bench_attention(b, h, t, d_k, tt, window, dtype=jnp.float32):
         p = jax.nn.softmax(s, -1)
         return jnp.einsum("bhts,bhsd->bhtd", p.astype(allv.dtype), allv)
 
+    def pallas_drop_fwd(q, k, v):
+        return banded_attention(q, k, v, kt, vt, tmask, window,
+                                dropout_rate=0.2,
+                                dropout_rng=jax.random.PRNGKey(0))
+
     results = {}
-    cands = {"pallas": pallas_fwd, "chunked": chunked_fwd}
+    cands = {"pallas": pallas_fwd, "pallas_drop": pallas_drop_fwd,
+             "chunked": chunked_fwd}
     if t <= 4096:  # full attention OOMs/crawls beyond this
         cands["full"] = full_fwd
     for name, fn in cands.items():
