@@ -43,6 +43,10 @@ class PWGConfig:
     aux_context_window: int = 2
     # hop 300 (24 kHz recipes) = 4*5*3*5; hop 256 (LJSpeech) = 4*4*4*4
     upsample_scales: tuple = (4, 5, 3, 5)
+    # express each dilation-d conv as d phase-interleaved dilation-1 convs
+    # (identical math; avoids XLA's pathological compile times for large
+    # temporal dilations). Requires T % max_dilation == 0.
+    phase_conv: bool = False
 
     @property
     def upsample_factor(self) -> int:
@@ -63,11 +67,27 @@ class PWGResidualBlock(nn.Module):
     def __call__(self, x, c):
         cfg = self.config
         residual = x
-        h = nn.Conv(
+        conv = nn.Conv(
             cfg.gate_channels, (cfg.kernel_size,),
-            kernel_dilation=self.dilation, padding="SAME",
-            kernel_init=kaiming, name="conv",
-        )(x)
+            kernel_dilation=1 if (cfg.phase_conv and self.dilation > 1)
+            else self.dilation,
+            padding="SAME", kernel_init=kaiming, name="conv",
+        )
+        if cfg.phase_conv and self.dilation > 1:
+            # dilation-d SAME conv == dilation-1 conv on the d phase
+            # streams: y[p + k*d] only mixes x[p + (k +- 1)*d], and the
+            # zero padding at stream edges equals SAME's t +- d overrun
+            b, t, ch = x.shape
+            d = self.dilation
+            if t % d != 0:
+                raise ValueError(f"phase_conv needs T % dilation == 0 "
+                                 f"(T={t}, d={d})")
+            xr = x.reshape(b, t // d, d, ch).transpose(0, 2, 1, 3)
+            h = conv(xr.reshape(b * d, t // d, ch))
+            h = h.reshape(b, d, t // d, -1).transpose(0, 2, 1, 3)
+            h = h.reshape(b, t, -1)
+        else:
+            h = conv(x)
         xa, xb = jnp.split(h, 2, axis=-1)
         ca, cb = jnp.split(
             nn.Conv(cfg.gate_channels, (1,), use_bias=False,

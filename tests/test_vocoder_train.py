@@ -109,3 +109,29 @@ def test_train_vocoder_end_to_end(tmp_path, rng):
     wav = vocode(mel)
     assert wav.shape == (1, 20 * hop)
     assert np.isfinite(wav).all()
+
+
+def test_phase_conv_matches_dilated(rng):
+    """phase_conv=True is bit-equivalent math to the plain dilated conv."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from a3t_tpu.models.pwg import ParallelWaveGANGeneratorScan, PWGConfig
+
+    base = PWGConfig(layers=4, stacks=2, residual_channels=8,
+                     gate_channels=16, skip_channels=8, aux_channels=6,
+                     upsample_scales=(2, 4))
+    t_feats, up = 16, 8  # t_wav = 128, max dilation 2 divides it
+    mel = jnp.asarray(rng.standard_normal((1, t_feats, 6)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((1, t_feats * up, 1)), jnp.float32)
+
+    g1 = ParallelWaveGANGeneratorScan(base)
+    v1 = g1.init(jax.random.PRNGKey(0), mel, z)
+    out1 = g1.apply(v1, mel, z)
+    g2 = ParallelWaveGANGeneratorScan(
+        dataclasses.replace(base, phase_conv=True))
+    out2 = g2.apply(v1, mel, z)  # same params: layout is identical
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5)
