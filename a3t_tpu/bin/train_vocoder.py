@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--crop-frames", type=int, default=96)
     ap.add_argument("--max-utts", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--phase-conv", action="store_true",
+                    help="phase-decomposed dilated convs (fast compile); "
+                         "crop-frames*hop must be divisible by 512")
     args = ap.parse_args(argv)
 
     from a3t_tpu.dsp.frontend import LogMelConfig
@@ -45,7 +48,7 @@ def main(argv=None):
     cfg = VocoderTrainConfig(
         total_steps=args.steps, disc_start_step=args.disc_start,
         batch_size=args.batch_size, crop_frames=args.crop_frames,
-        seed=args.seed)
+        seed=args.seed, phase_conv=args.phase_conv)
     train_vocoder(args.wav_scp, args.out, fe_cfg, cfg,
                   max_utts=args.max_utts or None)
 

@@ -100,6 +100,9 @@ class VocoderTrainConfig:
     residual_channels: int = 64
     layers: int = 30
     stacks: int = 3
+    # phase-decomposed dilated convs (models/pwg.py): equivalent math,
+    # far cheaper XLA compile; needs crop_frames*hop % max_dilation == 0
+    phase_conv: bool = False
 
 
 class VocoderData:
@@ -188,7 +191,8 @@ def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
                      residual_channels=cfg.residual_channels,
                      skip_channels=cfg.residual_channels,
                      gate_channels=2 * cfg.residual_channels,
-                     layers=cfg.layers, stacks=cfg.stacks)
+                     layers=cfg.layers, stacks=cfg.stacks,
+                     phase_conv=cfg.phase_conv)
     gen = ParallelWaveGANGeneratorScan(gcfg)
     disc = PWGDiscriminator()
 
