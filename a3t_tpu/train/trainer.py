@@ -56,6 +56,13 @@ class TrainerConfig:
     # extra mid-epoch full-state checkpoints (preemption safety at scale;
     # the reference only checkpoints per epoch + SLURM resubmits)
     save_interval_steps: Optional[int] = None
+    # walltime-aware self-resubmission (reference trainer.py:179-198,
+    # 459-475 + utils/slurm.py): when less budget remains than the longest
+    # observed epoch, checkpoint, run `resubmit_command` (e.g. an sbatch /
+    # gcloud queued-resources call re-launching this job; resume picks the
+    # checkpoint up), and stop.  None disables.
+    max_walltime_sec: Optional[float] = None
+    resubmit_command: Optional[str] = None
 
 
 class Trainer:
@@ -112,7 +119,10 @@ class Trainer:
                 logger.info("resumed mid-epoch %d at iter %d",
                             epoch_m, skip_iters)
 
+        run_t0 = time.perf_counter()
+        max_epoch_sec = 0.0
         for epoch in range(start_epoch, cfg.max_epoch + 1):
+            epoch_t0 = time.perf_counter()
             self.reporter.start_epoch(epoch)
             state = self.train_one_epoch(state, epoch, skip_iters)
             skip_iters = 0
@@ -137,6 +147,28 @@ class Trainer:
             ):
                 logger.info("early stopping at epoch %d", epoch)
                 break
+
+            # walltime-aware self-resubmission: mirror of the reference's
+            # SLURM TimeLimit dance — if the remaining budget cannot fit
+            # another epoch like the longest seen, hand off to the
+            # resubmit command (the epoch checkpoint above is the state)
+            max_epoch_sec = max(max_epoch_sec,
+                                time.perf_counter() - epoch_t0)
+            if cfg.max_walltime_sec is not None:
+                remaining = cfg.max_walltime_sec - (
+                    time.perf_counter() - run_t0)
+                if remaining < max_epoch_sec and epoch < cfg.max_epoch:
+                    logger.info(
+                        "walltime: %.0fs remain < longest epoch %.0fs — "
+                        "stopping for resubmission after epoch %d",
+                        remaining, max_epoch_sec, epoch)
+                    if cfg.resubmit_command:
+                        import subprocess
+
+                        subprocess.Popen(cfg.resubmit_command, shell=True,
+                                         start_new_session=True)
+                        logger.info("resubmitted: %s", cfg.resubmit_command)
+                    break
 
         if (
             cfg.average_nbest_at_end

@@ -353,3 +353,42 @@ def test_mid_epoch_resume_matches_uninterrupted(rng, tmp_path):
         np.asarray(ref.params["sfc"]["kernel"]), rtol=1e-5, atol=1e-6)
     # completed epoch clears the step checkpoints
     assert mgr.latest_mid_epoch() is None
+
+
+@pytest.mark.slow
+def test_walltime_resubmit(rng, tmp_path):
+    """Walltime-aware stop + self-resubmission (reference SLURM dance,
+    trainer.py:179-198/459-475): with a budget smaller than one epoch the
+    trainer checkpoints, fires the resubmit command, and stops early."""
+    import os
+    import time
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=20))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    state = create_train_state(model, tx, featurize(fe, batch, use_fused=False))
+
+    marker = str(tmp_path / "resubmitted")
+    cfg = TrainerConfig(
+        max_epoch=50, num_iters_per_epoch=2, log_interval=100,
+        keep_nbest_models=1, max_walltime_sec=0.0,
+        resubmit_command=f"touch {marker}")
+    trainer = Trainer(
+        cfg,
+        make_train_step(model, fe, donate=False),
+        make_eval_step(model, fe),
+        lambda epoch: [batch] * 2,
+        lambda epoch: [batch] * 2,
+        CheckpointManager(str(tmp_path / "exp"), keep_nbest=1),
+    )
+    state = trainer.run(state)
+    # zero budget: exactly one epoch ran, then the handoff fired
+    assert trainer.reporter.epoch == 1
+    for _ in range(50):
+        if os.path.exists(marker):
+            break
+        time.sleep(0.1)
+    assert os.path.exists(marker)
+    # the epoch checkpoint exists for the resubmitted run to resume from
+    assert CheckpointManager(str(tmp_path / "exp")).latest_epoch() == 1
