@@ -218,8 +218,12 @@ class ParallelWaveGANGeneratorScan(nn.Module):
         c_up = PWGUpsampleNetwork(cfg, name="upsample_net")(c)
         x = nn.Conv(cfg.residual_channels, (1,), kernel_init=kaiming,
                     name="first_conv")(z)
+        # remat the stack body: the backward recomputes each stack's
+        # activations instead of keeping all `layers` gate tensors live
+        # ((B, T_wav, gate) x 30 at fp32 overflows a v5e's 16G HBM at
+        # training crop sizes)
         scan = nn.scan(
-            _PWGStack,
+            nn.remat(_PWGStack, prevent_cse=False),
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=cfg.stacks,
