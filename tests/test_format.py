@@ -141,4 +141,5 @@ def test_48k_fixture_flows_through_prep_align_train(tmp_path):
     from a3t_tpu.bin.train import main as train_main
 
     train_main(["--config", conf_path])
-    assert os.path.exists(os.path.join(str(tmp_path / "exp"), "LATEST"))
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "exp"), "checkpoints", "LATEST"))
