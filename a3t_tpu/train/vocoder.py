@@ -341,9 +341,27 @@ def load_vocoder(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
     mean = np.asarray(meta["mel_mean"], np.float32)
     std = np.asarray(meta["mel_std"], np.float32)
 
+    # restore against an abstract template: the raw checkpoint carries the
+    # training devices' sharding metadata, which would fail to resolve on
+    # a different backend (e.g. CPU evaluation of a TPU-trained vocoder)
+    tmpl_cfg = dataclasses.replace(gcfg, phase_conv=False)  # same params
+    tmpl_gen = ParallelWaveGANGeneratorScan(tmpl_cfg)
+    disc = PWGDiscriminator()
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-4))
+
+    def build_state():
+        pg = tmpl_gen.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, gcfg.aux_channels)),
+            jnp.zeros((1, 8 * hop, gcfg.in_channels)))["params"]
+        pd = disc.init(jax.random.PRNGKey(1),
+                       jnp.zeros((1, 8 * hop)))["params"]
+        return _ckpt_tree(jnp.zeros((), jnp.int32), pg, pd,
+                          tx.init(pg), tx.init(pd))
+
+    abstract = jax.eval_shape(build_state)
     ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(os.path.join(out_dir, "state"))
-    params = restored["params_g"]
+    raw = ckpt.restore(os.path.join(out_dir, "state"), abstract)
+    params = raw["params_g"]
 
     @jax.jit
     def run(mel):
