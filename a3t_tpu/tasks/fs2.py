@@ -312,11 +312,12 @@ class FS2Task:
         mirror of MLMTask.build_model_from_dir."""
         import os
 
-        import orbax.checkpoint as ocp
-
         from a3t_tpu.tasks.config import _build, load_yaml_dict
         from a3t_tpu.text import TokenIDConverter
-        from a3t_tpu.train.checkpoint import CheckpointManager
+        from a3t_tpu.train.checkpoint import (
+            CheckpointManager,
+            restore_portable,
+        )
 
         cfg = _build(FS2TaskConfig,
                      load_yaml_dict(os.path.join(exp_dir, "config.yaml")))
@@ -324,20 +325,20 @@ class FS2Task:
         model = cls.build_model(cfg, len(conv))
 
         ckpt_dir = os.path.join(exp_dir, "checkpoints")
-        reader = ocp.StandardCheckpointer()
         ave = [d for d in os.listdir(ckpt_dir) if d.startswith("ave_")]
         if which == "ave" and ave:
-            params = reader.restore(
+            params = restore_portable(
                 os.path.join(ckpt_dir, sorted(ave)[-1]))["params"]
             latest = CheckpointManager(ckpt_dir).latest_epoch()
-            stats = reader.restore(
+            stats = restore_portable(
                 os.path.join(ckpt_dir, f"epoch_{latest}"))["batch_stats"]
         else:
             if which in ("ave", "best", "latest"):
                 epoch = CheckpointManager(ckpt_dir).latest_epoch()
             else:
                 epoch = int(which.split("_")[-1])
-            tree = reader.restore(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+            tree = restore_portable(
+                os.path.join(ckpt_dir, f"epoch_{epoch}"))
             params, stats = tree["params"], tree["batch_stats"]
         variables = {"params": params, "batch_stats": stats or {}}
         return model, variables, cfg, conv

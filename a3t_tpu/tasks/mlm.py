@@ -325,28 +325,28 @@ class MLMTask:
         ``which``: "ave" (n-best averaged params, the file inference uses,
         sedit_inference.py:352), "best", or "epoch_N".
         """
-        import orbax.checkpoint as ocp
+        from a3t_tpu.train.checkpoint import restore_portable
 
         cfg = load_config(os.path.join(exp_dir, "config.yaml"))
         conv = TokenIDConverter(os.path.join(exp_dir, "tokens.txt"))
         model = cls.build_model(cfg, len(conv))
 
         ckpt_dir = os.path.join(exp_dir, "checkpoints")
-        reader = ocp.StandardCheckpointer()
         ave = [d for d in os.listdir(ckpt_dir) if d.startswith("ave_")]
         if which == "ave" and ave:
-            tree = reader.restore(os.path.join(ckpt_dir, sorted(ave)[-1]))
+            tree = restore_portable(os.path.join(ckpt_dir, sorted(ave)[-1]))
             params = tree["params"]
             # batch stats come from the latest epoch checkpoint
             latest = CheckpointManager(ckpt_dir).latest_epoch()
-            stats = reader.restore(
+            stats = restore_portable(
                 os.path.join(ckpt_dir, f"epoch_{latest}"))["batch_stats"]
         else:
             if which in ("ave", "best", "latest"):
                 epoch = CheckpointManager(ckpt_dir).latest_epoch()
             else:
                 epoch = int(which.split("_")[-1])
-            tree = reader.restore(os.path.join(ckpt_dir, f"epoch_{epoch}"))
+            tree = restore_portable(
+                os.path.join(ckpt_dir, f"epoch_{epoch}"))
             params, stats = tree["params"], tree["batch_stats"]
         variables = {"params": params, "batch_stats": stats or {}}
         return model, variables, cfg, conv

@@ -224,3 +224,21 @@ class CheckpointManager:
         self._ckpt.save(out, {"params": avg})
         self._ckpt.wait_until_finished()
         return avg, epochs
+
+
+def restore_portable(path: str):
+    """Restore a checkpoint on any backend (drops saved device shardings).
+
+    A raw ``StandardCheckpointer.restore`` resolves the sharding metadata
+    the saving devices wrote, which fails when a TPU-trained checkpoint is
+    read in a CPU-only process (steps-vs-MCD curve evals, offline tooling).
+    Rebuild the abstract template from the checkpoint's own array metadata
+    so the restore targets the local backend instead.
+    """
+    ckpt = ocp.StandardCheckpointer()
+    meta = ckpt.metadata(path).item_metadata.tree
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree_util.tree_map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta)
+    return ckpt.restore(path, abstract)

@@ -358,7 +358,10 @@ def load_vocoder(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
         return _ckpt_tree(jnp.zeros((), jnp.int32), pg, pd,
                           tx.init(pg), tx.init(pd))
 
-    abstract = jax.eval_shape(build_state)
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    abstract = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding),
+        jax.eval_shape(build_state))
     ckpt = ocp.StandardCheckpointer()
     raw = ckpt.restore(os.path.join(out_dir, "state"), abstract)
     params = raw["params_g"]

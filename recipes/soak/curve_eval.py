@@ -1,0 +1,96 @@
+"""One steps-vs-MCD curve point, evaluated off-chip while training runs.
+
+Snapshots ``exp/checkpoints/epoch_N`` out of the live training directory
+(epoch dirs are pruned to the newest ``keep_nbest``), forces the CPU
+backend so the single-client TPU tunnel stays dedicated to the trainer,
+and runs the stage-5 MCD gate protocol (replaced-span MCD, teacher-forced
+— reference protocol sedit_mcd.py:43-135) on both eval splits.
+
+    python recipes/soak/curve_eval.py --workdir /root/soak --epoch 110 \
+        --vocoder /root/soak/vocoder
+
+Writes ``<workdir>/curve_e<N>.json`` (consumed by assemble_mcd_report.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/soak")
+    ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--vocoder", default="",
+                    help="trained vocoder dir; empty = Griffin-Lim")
+    ap.add_argument("--eval-utts", type=int, default=8)
+    ap.add_argument("--device", default="cpu",
+                    help="jax platform ('cpu' to coexist with a live "
+                         "TPU training run)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    from a3t_tpu.bin.mcd_gate import run_gate
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.data.fileio import read_2column_text
+    from a3t_tpu.eval.mcd import MCDConfig
+    from a3t_tpu.inference import FileAlignmentSource, SpeechEditor
+    from a3t_tpu.tasks import MLMTask
+
+    w = args.workdir
+    snap = os.path.join(w, "curve_ckpts")
+    os.makedirs(os.path.join(snap, "checkpoints"), exist_ok=True)
+    dst = os.path.join(snap, "checkpoints", f"epoch_{args.epoch}")
+    if not os.path.exists(dst):
+        src = os.path.join(w, "exp", "checkpoints", f"epoch_{args.epoch}")
+        shutil.copytree(src, dst)
+    for name in ("config.yaml", "tokens.txt"):
+        shutil.copy(os.path.join(w, "exp", name), os.path.join(snap, name))
+
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(
+        snap, which=str(args.epoch))
+    mcd_cfg = MCDConfig(shiftms=1000.0 * cfg.frontend.hop_length
+                        / cfg.frontend.fs)
+
+    vocoder = None
+    if args.vocoder:
+        from a3t_tpu.train.vocoder import load_vocoder
+
+        vocoder = load_vocoder(args.vocoder)
+
+    report = {"checkpoint": f"epoch_{args.epoch}",
+              "vocoder": args.vocoder or "griffin-lim"}
+    for split in ("eval_seen", "eval_unseen"):
+        split_dir = os.path.join(w, "data", split)
+        texts = read_2column_text(os.path.join(split_dir, "text"))
+        lexicon = {p.upper(): [p] for t in texts.values()
+                   for p in t.split()}
+        editor = SpeechEditor(model, variables, cfg.frontend, conv,
+                              lexicon=lexicon, vocoder=vocoder)
+        ds = A3TDataset(split_dir, conv)
+        aligner = FileAlignmentSource(split_dir)
+        uids = ds.uids[: args.eval_utts] if args.eval_utts else ds.uids
+        out_dir = os.path.join(w, "mcd_out", f"curve_e{args.epoch}", split)
+        result = run_gate(editor, texts, ds, aligner, uids, out_dir,
+                          mcd_config=mcd_cfg)
+        key = split.replace("eval_", "")
+        report[key] = result
+        print(f"   MCD [{key}] e{args.epoch} over {result['n']} utts: "
+              f"{result['mean_mcd']:.2f} dB (vocoder ceiling "
+              f"{result['vocoder_ceiling_mcd']:.2f} dB)", flush=True)
+
+    out = os.path.join(w, f"curve_e{args.epoch}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
