@@ -275,6 +275,7 @@ def _espnet_stack_config(conf: dict):
             conf.get("positionwise_conv_kernel_size", 3)),
         selfattention_layer_type=attn,
         attention_window=int(conf.get("attention_window", 0)),
+        attention_dilation=int(conf.get("attention_dilation", 1)),
         pre_speech_layers=int(conf.get("pre_speech_layer", 0)),
     )
 

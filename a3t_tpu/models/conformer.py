@@ -58,6 +58,10 @@ class EncoderConfig:
     # text tokens, the long-audio path — transformer/encoder.py:522-563)
     selfattention_layer_type: str = "legacy_rel_selfattn"
     attention_window: int = 0  # full window size for "longformer"
+    # longformer attention dilation (encoder.py:544-546 passes the
+    # encoder-wide value to every LongformerAttention layer): each speech
+    # query attends every n-th frame in a dilation-x wider band
+    attention_dilation: int = 1
     # fused Pallas banded-attention kernel for the longformer speech band
     # (ops/banded_attention.py; exact softmax, so only engaged when
     # attention dropout is inactive).  Default on: measured 1.7-1.9x
@@ -182,6 +186,7 @@ class ConformerBlock(nn.Module):
             h = WindowedSelfAttention(
                 c.attention_heads, c.attention_window,
                 c.attention_dropout_rate, dtype=c.dtype,
+                dilation=c.attention_dilation,
                 # TPU only: interpret-mode kernels would crawl on CPU
                 use_pallas=(c.use_pallas_attention
                             and jax.default_backend() == "tpu"),

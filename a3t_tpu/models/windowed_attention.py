@@ -12,6 +12,13 @@ custom kernel in the repo.  Here the same banded structure is expressed as
 static chunked einsums (3 diagonal key-chunks per query chunk), which XLA
 tiles straight onto the MXU; cost is O(T * 3w) instead of O(T^2).
 
+Attention dilation (the TVM kernel's per-head ``D`` stride,
+diagonaled_mm_tvm.py:50,241 — the reference encoder pins it to 1,
+encoder.py:440, but the kernel layer supports it) is provided through phase
+decomposition: the ``d`` strided subsequences are exactly independent under
+the dilated band, so they batch through the ordinary banded path and
+interleave back, with the global text block visible to every phase.
+
 Layout convention matches the MLM encoder: the sequence is
 ``[speech (n_frames) ; text (n_text)]`` and ``n_frames % (w/2) == 0``
 (the batcher pads to the window, pad_to_longformer_att_window analogue).
@@ -71,6 +78,13 @@ class WindowedSelfAttention(nn.Module):
     # dropout (mask regenerated in the backward kernels — the reference's
     # Longformer configs train with attention dropout).
     use_pallas: bool = False
+    # attention dilation (diagonaled_mm_tvm.py:241, attention.py:944-1020):
+    # a speech query attends every ``dilation``-th frame within a
+    # ``dilation``x wider band — same-phase keys only.  Implemented by
+    # phase decomposition: the d strided subsequences are batched through
+    # the ordinary banded path (text tokens stay global for every phase),
+    # which is exactly the reference kernel's i + d*(k - w) indexing.
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x, n_frames: int, mask=None,
@@ -80,10 +94,13 @@ class WindowedSelfAttention(nn.Module):
         c = self.window // 2
         b, t, _ = x.shape
         n_text = t - n_frames
-        if n_frames % c != 0:
+        dl = self.dilation
+        if dl < 1:
+            raise ValueError(f"dilation must be >= 1, got {dl}")
+        if n_frames % (c * dl) != 0:
             raise ValueError(
-                f"n_frames {n_frames} must be a multiple of half-window {c}")
-        nc = n_frames // c
+                f"n_frames {n_frames} must be a multiple of half-window "
+                f"{c} x dilation {dl}")
 
         def proj(y, name):
             out = nn.Dense(d_model, kernel_init=xavier(), bias_init=zeros,
@@ -107,22 +124,28 @@ class WindowedSelfAttention(nn.Module):
         neg = jnp.finfo(jnp.float32).min
 
         dropout_active = self.dropout_rate > 0 and not deterministic
-        if self.use_pallas:
-            # ---- speech queries via the fused Pallas kernel --------------
-            from a3t_tpu.ops.banded_attention import banded_attention
 
-            out_sp = banded_attention(
-                q_sp.transpose(0, 2, 1, 3), k_sp.transpose(0, 2, 1, 3),
-                v_sp.transpose(0, 2, 1, 3), k_tx.transpose(0, 2, 1, 3),
-                v_tx.transpose(0, 2, 1, 3), tx_mask, self.window,
-                speech_mask=sp_mask,
-                dropout_rate=self.dropout_rate if dropout_active else 0.0,
-                dropout_rng=(self.make_rng("dropout")
-                             if dropout_active else None),
-            ).transpose(0, 2, 1, 3)  # back to (B, T, H, d)
-        else:
+        def speech_attention(q_sp, k_sp, v_sp, sp_mask, k_tx, v_tx, tx_mask):
+            """Banded speech-query attention for one (sub)sequence batch."""
+            bb, nf = q_sp.shape[0], q_sp.shape[1]
+            nc = nf // c
+            if self.use_pallas:
+                # ---- speech queries via the fused Pallas kernel ----------
+                from a3t_tpu.ops.banded_attention import banded_attention
+
+                return banded_attention(
+                    q_sp.transpose(0, 2, 1, 3), k_sp.transpose(0, 2, 1, 3),
+                    v_sp.transpose(0, 2, 1, 3), k_tx.transpose(0, 2, 1, 3),
+                    v_tx.transpose(0, 2, 1, 3), tx_mask, self.window,
+                    speech_mask=sp_mask,
+                    dropout_rate=(self.dropout_rate if dropout_active
+                                  else 0.0),
+                    dropout_rng=(self.make_rng("dropout")
+                                 if dropout_active else None),
+                ).transpose(0, 2, 1, 3)  # back to (B, T, H, d)
+
             # ---- speech queries: banded over speech + full over text -----
-            qc = q_sp.reshape(b, nc, c, self.n_head, d_k)
+            qc = q_sp.reshape(bb, nc, c, self.n_head, d_k)
             kb = _chunk_bands(k_sp, nc, c)
             vb = _chunk_bands(v_sp, nc, c)
             band_scores = jnp.einsum(
@@ -147,11 +170,33 @@ class WindowedSelfAttention(nn.Module):
             attn = SeededDropout(self.dropout_rate)(
                 attn, deterministic=deterministic)
             a_band, a_text = attn[..., : 3 * c], attn[..., 3 * c:]
-            out_sp = jnp.einsum(
+            out = jnp.einsum(
                 "bnhck,bnkhd->bnchd", a_band.astype(v.dtype), vb)
-            out_sp = out_sp + jnp.einsum(
+            out = out + jnp.einsum(
                 "bnhcs,bshd->bnchd", a_text.astype(v.dtype), v_tx)
-            out_sp = out_sp.reshape(b, n_frames, self.n_head, d_k)
+            return out.reshape(bb, nf, self.n_head, d_k)
+
+        if dl == 1:
+            out_sp = speech_attention(q_sp, k_sp, v_sp, sp_mask,
+                                      k_tx, v_tx, tx_mask)
+        else:
+            # phase decomposition: element (p, r) of phase r is frame
+            # p*dl + r; batch index of phase r of batch bi is bi*dl + r
+            nf_p = n_frames // dl
+
+            def to_phases(y):
+                y = y.reshape(b, nf_p, dl, *y.shape[2:])
+                return jnp.swapaxes(y, 1, 2).reshape(
+                    b * dl, nf_p, *y.shape[3:])
+
+            out_p = speech_attention(
+                to_phases(q_sp), to_phases(k_sp), to_phases(v_sp),
+                to_phases(sp_mask),
+                jnp.repeat(k_tx, dl, axis=0), jnp.repeat(v_tx, dl, axis=0),
+                jnp.repeat(tx_mask, dl, axis=0))
+            out_sp = jnp.swapaxes(
+                out_p.reshape(b, dl, nf_p, self.n_head, d_k), 1, 2
+            ).reshape(b, n_frames, self.n_head, d_k)
 
         # ---- text queries: full attention over everything ---------------
         full_scores = jnp.einsum(

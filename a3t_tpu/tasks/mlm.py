@@ -223,12 +223,12 @@ class MLMTask:
         # (the pad_to_longformer_att_window invariant, collate_fn.py:241-247)
         enc = cfg.model.encoder
         if enc.selfattention_layer_type == "longformer":
-            c = enc.attention_window // 2
+            c = (enc.attention_window // 2) * max(enc.attention_dilation, 1)
             bad = [b for b in cfg.batcher.bucket_frames if b % c != 0]
             if bad:
                 raise ValueError(
-                    f"bucket_frames {bad} not multiples of half-window {c} "
-                    "(required by longformer attention)")
+                    f"bucket_frames {bad} not multiples of half-window x "
+                    f"dilation {c} (required by longformer attention)")
 
         plot_fn = None
         if cfg.num_plot_examples > 0 and valid_batcher is not None:

@@ -127,6 +127,81 @@ def test_pallas_path_matches_chunked(rng):
                                atol=5e-4, rtol=1e-3)
 
 
+def test_dilated_equals_per_phase_runs(rng):
+    """dilation=d on the interleaved sequence == d independent dilation=1
+    runs on the strided subsequences (shared params, shared global text) —
+    the defining property of the reference TVM kernel's D stride
+    (diagonaled_mm_tvm.py:241: key j attends iff j = i + D*(k - w))."""
+    b, n_frames, n_text, d_model, h, window, dl = 2, 32, 5, 16, 2, 8, 2
+    x = rng.standard_normal((b, n_frames + n_text, d_model)).astype(
+        np.float32)
+    mask = np.ones((b, n_frames + n_text), bool)
+    mask[0, n_frames - 3: n_frames] = False  # padded speech tail
+    mask[1, -1:] = False                     # padded text tail
+
+    mod_dil = WindowedSelfAttention(h, window=window, dilation=dl)
+    mod_ref = WindowedSelfAttention(h, window=window)
+    variables = mod_dil.init(jax.random.PRNGKey(0), jnp.asarray(x), n_frames,
+                             jnp.asarray(mask))
+
+    out = np.asarray(mod_dil.apply(variables, jnp.asarray(x), n_frames,
+                                   jnp.asarray(mask)))
+
+    # manual: run each phase subsequence (with the text block) separately
+    expect_sp = np.zeros((b, n_frames, d_model), np.float32)
+    for r in range(dl):
+        keep = np.arange(r, n_frames, dl)
+        xr = np.concatenate([x[:, keep], x[:, n_frames:]], axis=1)
+        mr = np.concatenate([mask[:, keep], mask[:, n_frames:]], axis=1)
+        out_r = np.asarray(mod_ref.apply(variables, jnp.asarray(xr),
+                                         len(keep), jnp.asarray(mr)))
+        expect_sp[:, keep] = out_r[:, : len(keep)]
+    np.testing.assert_allclose(out[:, :n_frames], expect_sp,
+                               atol=2e-5, rtol=1e-4)
+
+    # text queries see everything in both formulations
+    out_full = np.asarray(mod_ref.apply(variables, jnp.asarray(x), n_frames,
+                                        jnp.asarray(mask)))
+    np.testing.assert_allclose(out[:, n_frames:], out_full[:, n_frames:],
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_dilated_matches_chunked(rng):
+    """The Pallas kernel under phase decomposition (forward + grads)."""
+    b, n_frames, n_text, d_model, h, window, dl = 1, 64, 6, 32, 2, 8, 2
+    x = rng.standard_normal((b, n_frames + n_text, d_model)).astype(
+        np.float32)
+    mask = np.ones((b, n_frames + n_text), bool)
+    mask[0, n_frames - 7: n_frames] = False
+
+    ref_mod = WindowedSelfAttention(h, window=window, dilation=dl)
+    pal_mod = WindowedSelfAttention(h, window=window, dilation=dl,
+                                    use_pallas=True)
+    variables = ref_mod.init(jax.random.PRNGKey(0), jnp.asarray(x), n_frames,
+                             jnp.asarray(mask))
+
+    def run(mod, v):
+        return mod.apply(v, jnp.asarray(x), n_frames, jnp.asarray(mask),
+                         deterministic=True)
+
+    out_ref = run(ref_mod, variables)
+    out_pal = run(pal_mod, variables)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               atol=2e-5, rtol=1e-4)
+
+    from jax.flatten_util import ravel_pytree
+
+    w = rng.standard_normal(out_ref.shape).astype(np.float32)
+    w = w * mask[..., None]
+    g_ref = jax.grad(lambda v: (run(ref_mod, v) * w).sum())(variables)
+    g_pal = jax.grad(lambda v: (run(pal_mod, v) * w).sum())(variables)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_p, _ = ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_r),
+                               atol=5e-4, rtol=1e-3)
+
+
 def test_banded_kernel_dropout_statistics(rng):
     """In-kernel attention dropout on the Pallas path: ~rate of the
     probability mass is dropped, kept entries scale by 1/keep, and the
