@@ -63,10 +63,12 @@ def main():
                     "bit-level with round 2",
         },
         "steps_vs_mcd_curve": {
-            "epoch100_~10k_steps": summarize_gate(
-                load(os.path.join(w, "curve_e100.json"))),
-            "epoch140_~26k_steps": summarize_gate(
-                load(os.path.join(w, "curve_e140.json"))),
+            f"epoch{e}": summarize_gate(load(os.path.join(
+                w, f"curve_e{e}.json")))
+            for e in sorted(
+                int(f[len("curve_e"):-len(".json")])
+                for f in os.listdir(w)
+                if f.startswith("curve_e") and f.endswith(".json"))
         },
         "final_griffin_lim": summarize_gate(
             load(os.path.join(w, "soak_mcd_gl.json"))),

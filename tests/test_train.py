@@ -259,6 +259,33 @@ def test_checkpoint_roundtrip_and_nbest(rng, tmp_path):
     )
 
 
+def test_restore_portable_roundtrip(rng, tmp_path):
+    """restore_portable rebuilds the template from checkpoint metadata, so
+    a checkpoint loads without the saver's device topology (TPU-trained
+    checkpoints read in CPU-only eval processes)."""
+    import orbax.checkpoint as ocp
+
+    from a3t_tpu.train.checkpoint import restore_portable
+
+    tree = {
+        "step": jnp.asarray(7, jnp.int32),
+        "params": {"w": jnp.asarray(rng.standard_normal((4, 8)),
+                                    jnp.float32),
+                   "b": jnp.asarray(rng.standard_normal((8,)),
+                                    jnp.bfloat16)},
+    }
+    path = str(tmp_path / "state")
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, tree)
+    ckpt.wait_until_finished()
+
+    restored = restore_portable(path)
+    assert int(restored["step"]) == 7
+    assert restored["params"]["b"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]),
+                               np.asarray(tree["params"]["w"]))
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end(rng, tmp_path):
     model = tiny_model()
