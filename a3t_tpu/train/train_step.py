@@ -32,7 +32,8 @@ from flax import struct
 from a3t_tpu.dsp import LogMelFrontend
 from a3t_tpu.models.mlm import A3TMLMModel, mlm_loss
 from a3t_tpu.models.layers import duration_loss as duration_loss_fn
-from a3t_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+from a3t_tpu.parallel.mesh import (
+    DATA_AXIS, SEQ_AXIS, batch_sharding, replicated, seq_axis_size)
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -108,6 +109,39 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
     )
 
 
+def constrain_time_sharding(mb: dict, mesh) -> dict:
+    """Shard the frame (time) axis of the featurized batch over ``seq``.
+
+    Context parallelism: the raw-audio front-end is replicated across the
+    small seq group (it is measured-free, docs/STEP_BENCH.json nofrontend),
+    then every (B, F, ...) tensor is constrained to
+    ``P(data, seq, ...)`` so the conformer stack — where the FLOPs and
+    activation memory live — runs time-sharded.  For windowed attention
+    GSPMD lowers the band structure to collective-permute halo exchanges;
+    for full attention it all-gathers K/V (standard sequence parallelism).
+    Gradients reduce over both ``data`` and ``seq`` automatically.
+    """
+    n_f = mb["speech"].shape[1]
+    sp = seq_axis_size(mesh)
+    if n_f % sp != 0:
+        # GSPMD's non-divisible shard padding miscomputes through the
+        # rel-shift reshape (verified: F=41 over seq=2 diverges 1.5%,
+        # F=40 matches to 3e-5) — require frame buckets to be multiples
+        # of the seq axis instead of silently training on wrong numerics.
+        raise ValueError(
+            f"sequence parallelism needs the frame bucket ({n_f}) to be "
+            f"a multiple of the seq axis ({sp}); adjust "
+            "BatcherConfig.bucket_frames"
+        )
+    spec3 = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, None))
+    spec2 = NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
+    out = dict(mb)
+    out["speech"] = jax.lax.with_sharding_constraint(mb["speech"], spec3)
+    for k in ("masked_position", "speech_mask", "speech_segment_pos"):
+        out[k] = jax.lax.with_sharding_constraint(mb[k], spec2)
+    return out
+
+
 def make_train_step(
     model: A3TMLMModel,
     frontend: Optional[LogMelFrontend],
@@ -120,11 +154,14 @@ def make_train_step(
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
 
     has_duration = model.config.duration_predictor_layers > 0
+    seq_sharded = seq_axis_size(mesh) > 1
 
     def loss_fn(params, batch_stats, batch, rng):
         mb = featurize(frontend, batch, use_fused=use_fused,
                        normalizer=normalizer) \
             if frontend is not None else batch
+        if seq_sharded:
+            mb = constrain_time_sharding(mb, mesh)
         (before, after, log_d), updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             **mb,
@@ -244,9 +281,13 @@ def make_eval_step(model, frontend, mesh=None, speech_only: bool = False,
                    normalizer=None):
     """Validation step (no grads, running batch stats)."""
 
+    seq_sharded = seq_axis_size(mesh) > 1
+
     def step_fn(state: TrainState, batch: dict):
         mb = featurize(frontend, batch, normalizer=normalizer) \
             if frontend is not None else batch
+        if seq_sharded:
+            mb = constrain_time_sharding(mb, mesh)
         before, after, _ = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             **mb,

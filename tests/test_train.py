@@ -197,9 +197,24 @@ def test_cross_mesh_numerical_parity(rng):
     loss_dp, params_dp = one_step(make_mesh(MeshConfig(data_parallel=8)))
     loss_tp, params_tp = one_step(
         make_mesh(MeshConfig(data_parallel=4, tensor_parallel=2)))
+    # seq parallelism requires a frame count divisible by the seq axis
+    # (HOP*40 audio -> 41 frames is not); use a 40-frame batch for it
+    batch_sp = make_synthetic_batch(
+        np.random.default_rng(7), batch_size=8, n_samples=HOP * 39,
+        n_text=8, hop_length=HOP, vocab_size=30, fs=8000)
+    orig = batch_np
+    try:
+        batch_np = batch_sp
+        loss_sp1, params_sp1 = one_step(None)
+        loss_sp, params_sp = one_step(
+            make_mesh(MeshConfig(data_parallel=2, sequence_parallel=2,
+                                 tensor_parallel=2)))
+    finally:
+        batch_np = orig
 
     np.testing.assert_allclose(loss_dp, loss_1, rtol=1e-5)
     np.testing.assert_allclose(loss_tp, loss_1, rtol=1e-5)
+    np.testing.assert_allclose(loss_sp, loss_sp1, rtol=1e-5)
     # Updated params: almost all elements match tightly.  The exception is
     # zero-initialized biases whose true gradient is ~0 — there Adam's
     # first-step g/sqrt(v) normalizes to +-1, so a cross-mesh
@@ -208,9 +223,10 @@ def test_cross_mesh_numerical_parity(rng):
     # require they stay <0.2% of all elements.
     sched = noam_schedule(32, 20, 1.0)
     max_update = 2.5 * float(sched(0))
-    for other in (params_dp, params_tp):
+    for base, other in ((params_1, params_dp), (params_1, params_tp),
+                        (params_sp1, params_sp)):
         n_bad, n_total = 0, 0
-        for a, b in zip(jax.tree_util.tree_leaves(params_1),
+        for a, b in zip(jax.tree_util.tree_leaves(base),
                         jax.tree_util.tree_leaves(other)):
             a, b = np.asarray(a), np.asarray(b)
             d = np.abs(a - b)
@@ -218,6 +234,60 @@ def test_cross_mesh_numerical_parity(rng):
             n_bad += int(((d > 1e-5) & (d > 2e-4 * np.abs(a))).sum())
             n_total += a.size
         assert n_bad / n_total < 2e-3, (n_bad, n_total)
+
+
+@pytest.mark.slow
+def test_sequence_parallel_windowed_halo(rng):
+    """Sequence (context) parallelism over the windowed-attention encoder:
+    time-sharding the feature axis must (a) reproduce the unsharded loss,
+    and (b) lower the attention band to collective-permute halo exchanges
+    rather than gathering the full sequence per device.  The reference
+    scales sequence length only algorithmically (Longformer, SURVEY §5.7);
+    this is the TPU-native hardware scaling on top of it."""
+    enc = EncoderConfig(attention_dim=32, attention_heads=2, linear_units=64,
+                        num_blocks=1, cnn_module_kernel=7,
+                        selfattention_layer_type="longformer",
+                        attention_window=16)
+    model = A3TMLMModel(A3TModelConfig(
+        odim=20, vocab_size=30, encoder=enc,
+        decoder=EncoderConfig(
+            attention_dim=32, attention_heads=2, linear_units=64,
+            num_blocks=1, selfattention_layer_type="longformer",
+            attention_window=16),
+        postnet_layers=2, postnet_chans=16,
+    ))
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=20))
+    # 128 frames (divisible by the 4-way seq axis), window-multiple padded
+    batch_np = make_synthetic_batch(
+        rng, batch_size=2, n_samples=HOP * 127, n_text=8, hop_length=HOP,
+        vocab_size=30, fs=8000)
+
+    def one_step(mesh):
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        sample = featurize(fe, batch, use_fused=False)
+        state = create_train_state(model, tx, sample)
+        if mesh is not None:
+            state = state.replace(params=shard_variables(mesh, state.params))
+            batch = jax.device_put(batch, batch_sharding(mesh))
+        step = make_train_step(model, fe, mesh=mesh, donate=False)
+        new_state, stats = step(state, batch, jax.random.PRNGKey(0))
+        return float(stats["loss"]), new_state
+
+    loss_1, _ = one_step(None)
+    mesh = make_mesh(MeshConfig(data_parallel=2, sequence_parallel=4))
+    loss_sp, _ = one_step(mesh)
+    np.testing.assert_allclose(loss_sp, loss_1, rtol=1e-5)
+
+    # compile the sharded step and look for the halo exchange
+    batch = jax.device_put({k: jnp.asarray(v) for k, v in batch_np.items()},
+                           batch_sharding(mesh))
+    sample = featurize(fe, batch, use_fused=False)
+    state = create_train_state(model, tx, jax.device_get(sample))
+    state = state.replace(params=shard_variables(mesh, state.params))
+    step = make_train_step(model, fe, mesh=mesh, donate=False)
+    hlo = step.lower(state, batch, jax.random.PRNGKey(0)).compile().as_text()
+    assert "collective-permute" in hlo
 
 
 def test_checkpoint_roundtrip_and_nbest(rng, tmp_path):
