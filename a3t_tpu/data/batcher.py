@@ -170,7 +170,16 @@ class BucketBatcher:
 
         speech_only = getattr(self.dataset, "speech_only", False)
 
-        audio = np.zeros((b, spec.n_samples), np.float32)
+        # int16-direct assembly: record shards store raw PCM16, so when the
+        # batch ships as int16 anyway, copy codes straight through instead
+        # of decode-to-float + re-quantize over the whole batch array
+        pcm16_direct = (
+            cfg.audio_int16
+            and self._loader is None
+            and hasattr(self.dataset, "get_pcm16")
+        )
+        audio = np.zeros(
+            (b, spec.n_samples), np.int16 if pcm16_direct else np.float32)
         audio_lengths = np.zeros(b, np.int32)
         text = np.zeros((b, spec.n_text), np.int32)
         text_mask = np.zeros((b, spec.n_text), bool)
@@ -193,6 +202,11 @@ class BucketBatcher:
                 item = self.dataset.get_meta(uid)
                 n_true = (self._frames[uid] - 1) * hop
                 wav_len = min(n_true, spec.n_samples)
+            elif pcm16_direct:
+                item = self.dataset.get_meta(uid)
+                pcm = self.dataset.get_pcm16(uid)[: spec.n_samples]
+                audio[i, : len(pcm)] = pcm
+                wav_len = len(pcm)
             else:
                 item = self.dataset[uid]
                 wav = item["audio"][: spec.n_samples]
@@ -240,7 +254,7 @@ class BucketBatcher:
 
         # empty slots (batch padding): leave zeros; text_mask all False keeps
         # them out of attention, masked=False keeps them out of the loss.
-        if cfg.audio_int16:
+        if cfg.audio_int16 and audio.dtype != np.int16:
             # round-to-nearest x32768: exact inverse of the /32768 decode
             # convention (fileio.read_wav, native loader, records) — the
             # int16 codes of PCM16-sourced audio round-trip bit-exactly

@@ -16,9 +16,15 @@ from a3t_tpu.data.batcher import BucketBatcher
 
 
 class PrefetchIterator:
-    """Wrap an iterator with a background producer thread."""
+    """Wrap an iterator with a background producer thread.
 
-    def __init__(self, it: Iterator, depth: int = 2):
+    ``transform`` (e.g. ``jax.device_put``) runs in the producer thread, so
+    host→device transfer overlaps the consumer's device steps — on a
+    tunneled backend the transfer latency is otherwise serialized into
+    every dispatch.
+    """
+
+    def __init__(self, it: Iterator, depth: int = 2, transform=None):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
@@ -26,6 +32,8 @@ class PrefetchIterator:
         def produce():
             try:
                 for item in it:
+                    if transform is not None:
+                        item = transform(item)
                     self.q.put(item)
             except BaseException as e:  # propagate into the consumer
                 self._err = e
@@ -56,11 +64,13 @@ class EpochIterFactory:
         num_iters_per_epoch: Optional[int] = None,
         shard: tuple[int, int] = (0, 1),
         prefetch: int = 2,
+        transform=None,
     ):
         self.batcher = batcher
         self.num_iters = num_iters_per_epoch
         self.shard = shard
         self.prefetch = prefetch
+        self.transform = transform
 
     def __call__(self, epoch: int):
         def gen():
@@ -83,5 +93,7 @@ class EpochIterFactory:
                 offset += 1000  # reseed for the wrap-around pass
 
         if self.prefetch > 0:
-            return PrefetchIterator(gen(), self.prefetch)
+            return PrefetchIterator(gen(), self.prefetch, self.transform)
+        if self.transform is not None:
+            return map(self.transform, gen())
         return gen()

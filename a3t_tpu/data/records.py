@@ -173,13 +173,21 @@ class RecordDataset:
             out["speaker"] = self._speakers[i]
         return out
 
-    def __getitem__(self, uid: str) -> dict:
+    def get_pcm16(self, uid: str) -> np.ndarray:
+        """Raw int16 PCM view into the shard memmap (no float round trip).
+
+        The batcher's ``audio_int16`` path copies this straight into the
+        int16 batch array — skipping the decode-to-float + re-quantize
+        passes over ~28 MB per batch.
+        """
         i = self._pos[uid]
         lo = int(self._offset[i])
-        pcm = self._mm[int(self._shard[i])][lo: lo + int(self._n[i])]
+        return self._mm[int(self._shard[i])][lo: lo + int(self._n[i])]
+
+    def __getitem__(self, uid: str) -> dict:
         out = self.get_meta(uid)
         out["fs"] = self.fs
-        out["audio"] = pcm.astype(np.float32) / 32768.0
+        out["audio"] = self.get_pcm16(uid).astype(np.float32) / 32768.0
         return out
 
     def _load_phones(self):

@@ -138,24 +138,33 @@ class MLMTask:
 
         import jax.numpy as jnp
 
+        def to_device_batch(b):
+            # runs in the prefetch producer thread: host->device transfer
+            # overlaps the trainer's device steps (tunnel latency would
+            # otherwise serialize into every dispatch)
+            name = None
+            if isinstance(b, tuple):
+                name, b = b
+            b = {k: jnp.asarray(v) for k, v in b.items()}
+            if mesh is not None:
+                b = jax.device_put(b, batch_sharding(mesh))
+            yield_b = (name, b) if name is not None else b
+            return yield_b
+
         def to_device(it):
             for b in it:
-                name = None
-                if isinstance(b, tuple):
-                    name, b = b
-                b = {k: jnp.asarray(v) for k, v in b.items()}
-                if mesh is not None:
-                    b = jax.device_put(b, batch_sharding(mesh))
-                yield (name, b) if name is not None else b
+                yield to_device_batch(b)
 
         if multi is not None:
             train_factory = multi["factory"]
         else:
             train_factory = EpochIterFactory(
                 train_batcher, cfg.trainer.num_iters_per_epoch, shard,
-                cfg.num_workers_prefetch)
+                cfg.num_workers_prefetch, transform=to_device_batch)
         valid_factory = (
-            EpochIterFactory(valid_batcher, None, shard, cfg.num_workers_prefetch)
+            EpochIterFactory(valid_batcher, None, shard,
+                             cfg.num_workers_prefetch,
+                             transform=to_device_batch)
             if valid_batcher else None
         )
 
@@ -264,8 +273,11 @@ class MLMTask:
             train_step,
             make_eval_step(model, fe, mesh=mesh, normalizer=normalizer,
                            speech_only=cfg.speech_only),
-            lambda e: to_device(train_factory(e)),
-            (lambda e: to_device(valid_factory(e))) if valid_factory else None,
+            # EpochIterFactory transfers in its producer thread; the
+            # multi-corpus factory has no transform hook, so wrap it here
+            (lambda e: to_device(train_factory(e))) if multi is not None
+            else train_factory,
+            valid_factory,
             CheckpointManager(
                 os.path.join(cfg.exp_dir, "checkpoints"),
                 keep_nbest=cfg.trainer.keep_nbest_models,

@@ -95,3 +95,40 @@ def test_cli_train_from_record_dir(tmp_path):
         yaml.safe_dump(d, f)
     train_main(["--config", conf, "--log-level", "WARNING"])
     assert os.path.exists(os.path.join(exp, "checkpoints", "epoch_1"))
+
+
+def test_pcm16_direct_batches_match_float_roundtrip(packed):
+    """The int16-direct assembly (get_pcm16 straight into the int16 batch)
+    must produce byte-identical batches to the float decode + re-quantize
+    path it replaced."""
+    from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
+    from a3t_tpu.dsp import LogMelConfig
+
+    _, out, conv = packed
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20, fmin=20, fmax=4000)
+    rec = RecordDataset(out)
+    kw = dict(batch_bins=20 * 64 * 4, bucket_frames=(64, 128, 256),
+              mlm_prob_factor=1.0, use_native_loader=False)
+    b_direct = BucketBatcher(rec, fe, BatcherConfig(audio_int16=True, **kw))
+    # force the float path by hiding get_pcm16 behind a shim dataset
+    class NoPcm16:
+        def __init__(self, inner):
+            self._inner = inner
+            self.uids = inner.uids
+            self.speech_only = getattr(inner, "speech_only", False)
+        def __getattr__(self, name):
+            if name == "get_pcm16":
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+        def __getitem__(self, uid):
+            return self._inner[uid]
+    b_float = BucketBatcher(NoPcm16(rec), fe,
+                            BatcherConfig(audio_int16=True, **kw))
+
+    (bi, uids) = b_direct.batch_plan(epoch=1)[0]
+    x_d = b_direct.make_batch(bi, uids, np.random.default_rng(0))
+    x_f = b_float.make_batch(bi, uids, np.random.default_rng(0))
+    assert x_d["audio"].dtype == np.int16 and x_f["audio"].dtype == np.int16
+    for k in x_d:
+        np.testing.assert_array_equal(x_d[k], x_f[k])
