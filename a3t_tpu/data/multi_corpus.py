@@ -41,6 +41,7 @@ class MultiCorpusIterFactory:
         shard: tuple[int, int] = (0, 1),
         prefetch: int = 2,
         seed: int = 0,
+        transform=None,
     ):
         total = sum(c.portion for c in corpora)
         self.corpora = corpora
@@ -49,6 +50,7 @@ class MultiCorpusIterFactory:
         self.shard = shard
         self.prefetch = prefetch
         self.seed = seed
+        self.transform = transform
 
     def __call__(self, epoch: int):
         def gen():
@@ -85,7 +87,9 @@ class MultiCorpusIterFactory:
                 yield (self.corpora[ci].name, batch)
 
         if self.prefetch > 0:
-            return PrefetchIterator(gen(), self.prefetch)
+            return PrefetchIterator(gen(), self.prefetch, self.transform)
+        if self.transform is not None:
+            return map(self.transform, gen())
         return gen()
 
 

@@ -151,12 +151,15 @@ class MLMTask:
             yield_b = (name, b) if name is not None else b
             return yield_b
 
-        def to_device(it):
-            for b in it:
-                yield to_device_batch(b)
+        # A3T_PREFETCH_PUT=0 keeps batches host-side until dispatch
+        # (transfer rides the jit call instead of the producer thread)
+        _prefetch_put = os.environ.get("A3T_PREFETCH_PUT", "1") != "0"
+        if not _prefetch_put:
+            to_device_batch = None  # noqa: F811
 
         if multi is not None:
             train_factory = multi["factory"]
+            train_factory.transform = to_device_batch
         else:
             train_factory = EpochIterFactory(
                 train_batcher, cfg.trainer.num_iters_per_epoch, shard,
@@ -273,10 +276,8 @@ class MLMTask:
             train_step,
             make_eval_step(model, fe, mesh=mesh, normalizer=normalizer,
                            speech_only=cfg.speech_only),
-            # EpochIterFactory transfers in its producer thread; the
-            # multi-corpus factory has no transform hook, so wrap it here
-            (lambda e: to_device(train_factory(e))) if multi is not None
-            else train_factory,
+            # both factories transfer in their producer thread
+            train_factory,
             valid_factory,
             CheckpointManager(
                 os.path.join(cfg.exp_dir, "checkpoints"),

@@ -74,6 +74,15 @@ def main():
             load(os.path.join(w, "soak_mcd_gl.json"))),
         "final_neural_vocoder": summarize_gate(
             load(os.path.join(w, "soak_mcd_pwg.json"))),
+        # per-checkpoint full-protocol evals (MCD swings ~1 dB between
+        # adjacent epochs; inference should ship the best checkpoint, the
+        # reference's n-best averaging notwithstanding)
+        "checkpoint_sweep": {
+            f[len("sweep_"):-len(".json")]: summarize_gate(load(
+                os.path.join(w, f)))
+            for f in sorted(os.listdir(w))
+            if f.startswith("sweep_") and f.endswith(".json")
+        },
         "vocoder_training": {
             "recipe": "a3t_tpu.bin.train_vocoder: 15k spectral-only + 7k "
                       "adversarial steps, crop 64 frames x batch 8, "
