@@ -28,20 +28,51 @@ class PrefetchIterator:
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._err: Optional[BaseException] = None
+        self._closed = False
 
         def produce():
             try:
                 for item in it:
+                    if self._closed:
+                        return
                     if transform is not None:
                         item = transform(item)
-                    self.q.put(item)
+                    while not self._closed:
+                        try:
+                            self.q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                self.q.put(self._done)
+                try:
+                    self.q.put_nowait(self._done)
+                except queue.Full:
+                    pass
 
         self.thread = threading.Thread(target=produce, daemon=True)
         self.thread.start()
+
+    def close(self):
+        """Stop the producer and drop queued items.
+
+        Abandoning an un-closed iterator leaves depth+1 prefetched batches
+        alive behind a blocked producer thread — with a device_put
+        transform those are device-resident buffers pinned in HBM for the
+        rest of the process.  Callers that only peek (e.g. fetching a
+        sample batch for model init) must close.
+        """
+        self._closed = True
+        # the producer exits within one put-retry interval (or after its
+        # in-flight transform); drain only once it is gone so a pending
+        # put cannot land after the drain
+        self.thread.join(timeout=5.0)
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self):
         return self

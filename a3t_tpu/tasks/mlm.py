@@ -39,6 +39,16 @@ from a3t_tpu.train.train_step import featurize
 logger = logging.getLogger("a3t_tpu")
 
 
+def _peek_batch(factory, epoch: int = 0):
+    """First batch of an epoch, releasing the iterator's prefetch queue —
+    an abandoned PrefetchIterator would pin device-resident batches."""
+    it = factory(epoch)
+    batch = next(iter(it))
+    if hasattr(it, "close"):
+        it.close()
+    return batch
+
+
 class MLMTask:
     @classmethod
     def build_token_converter(cls, cfg: A3TTaskConfig) -> TokenIDConverter:
@@ -148,8 +158,7 @@ class MLMTask:
             b = {k: jnp.asarray(v) for k, v in b.items()}
             if mesh is not None:
                 b = jax.device_put(b, batch_sharding(mesh))
-            yield_b = (name, b) if name is not None else b
-            return yield_b
+            return (name, b) if name is not None else b
 
         # A3T_PREFETCH_PUT=0 keeps batches host-side until dispatch
         # (transfer rides the jit call instead of the producer thread)
@@ -171,7 +180,7 @@ class MLMTask:
             if valid_batcher else None
         )
 
-        sample_host = next(iter(train_factory(0)))
+        sample_host = _peek_batch(train_factory)
         sample_fe = fe
         if isinstance(sample_host, tuple):
             name, sample_host = sample_host
@@ -244,7 +253,7 @@ class MLMTask:
 
         plot_fn = None
         if cfg.num_plot_examples > 0 and valid_batcher is not None:
-            plot_batch = next(iter(valid_factory(0)))
+            plot_batch = _peek_batch(valid_factory)
             plot_dir = os.path.join(cfg.exp_dir, "plots")
             mel_fn = make_mel_plot_fn(
                 model, fe, normalizer, plot_batch, plot_dir,

@@ -220,8 +220,15 @@ def make_tts_train_step(
     batcher's ``reordered_index``, runs ``tts_forward`` (encoder on reduced
     frames, length-regulated decoder), and adds the masked duration loss."""
 
+    seq_sharded = seq_axis_size(mesh) > 1
+
     def loss_fn(params, batch_stats, batch, rng):
         mb = featurize(frontend, batch)
+        if seq_sharded:
+            # the duration-reduction gather crosses shard boundaries (GSPMD
+            # all-gathers the operand), but the conformer stack — where the
+            # FLOPs live — still runs time-sharded on the reduced sequence
+            mb = constrain_time_sharding(mb, mesh)
         n_f = mb["speech"].shape[1]
         ri = batch["reordered_index"]
 

@@ -80,8 +80,13 @@ def main():
         "checkpoint_sweep": {
             f[len("sweep_"):-len(".json")]: summarize_gate(load(
                 os.path.join(w, f)))
-            for f in sorted(os.listdir(w))
-            if f.startswith("sweep_") and f.endswith(".json")
+            for f in sorted(
+                (f for f in os.listdir(w)
+                 if f.startswith("sweep_") and f.endswith(".json")),
+                # numeric epoch order (epoch_2 before epoch_10), vocoder
+                # suffix second — matches the curve block above
+                key=lambda f: (
+                    int("".join(c for c in f if c.isdigit()) or 0), f))
         },
         "vocoder_training": {
             "recipe": "a3t_tpu.bin.train_vocoder: 15k spectral-only + 7k "

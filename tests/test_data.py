@@ -280,3 +280,28 @@ def test_int16_audio_roundtrip_and_featurize(corpus, converter):
                     use_fused=False)
     np.testing.assert_array_equal(np.asarray(m16["speech"]),
                                   np.asarray(m32["speech"]))
+
+
+def test_prefetch_iterator_close_releases_queue():
+    """close() stops the producer and drops queued items — an abandoned
+    iterator must not pin prefetched (possibly device-resident) batches."""
+    import itertools
+    import time
+
+    from a3t_tpu.data.iterator import PrefetchIterator
+
+    produced = []
+
+    def gen():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    it = PrefetchIterator(gen(), depth=2)
+    assert next(it) == 0
+    it.close()
+    time.sleep(0.8)  # give the producer time to observe the flag
+    n_after = len(produced)
+    time.sleep(0.8)
+    assert len(produced) == n_after  # producer stopped
+    assert it.q.qsize() <= 1  # only the done sentinel may remain

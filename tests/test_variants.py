@@ -88,6 +88,23 @@ def test_tts_variant_train_step(corpus, converter):
         assert np.isfinite(stats["loss_duration"])
     assert np.isfinite(losses).all()
 
+    # the duration-aware step honors the seq mesh axis too (bucket 256 is
+    # divisible): one seq-sharded step reproduces the first unsharded loss
+    from a3t_tpu.parallel import MeshConfig, make_mesh, shard_variables
+    from a3t_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(MeshConfig(data_parallel=2, sequence_parallel=4))
+    state_sp = create_train_state(
+        model, tx, featurize(fe, {k: v[:2] for k, v in batch.items()},
+                             use_fused=False))
+    state_sp = state_sp.replace(
+        params=shard_variables(mesh, state_sp.params))
+    batch_sp = jax.device_put(batch, batch_sharding(mesh))
+    step_sp = make_tts_train_step(model, fe, mesh=mesh, donate=False)
+    _, stats_sp = step_sp(state_sp, batch_sp, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(stats_sp["loss"]), losses[0],
+                               rtol=1e-5)
+
 
 @pytest.mark.slow
 def test_speech_only_batches_and_training(corpus, converter):
