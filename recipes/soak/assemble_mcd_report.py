@@ -62,6 +62,9 @@ def main():
                     "numbers share eval splits with each other, not "
                     "bit-level with round 2",
         },
+        "steps_note": "epochs 1-88 ran 100 iters each (round 2), later "
+                      "epochs 400 — epoch 112 = ~18.4k steps, epoch 136 "
+                      "(end) = ~28k",
         "steps_vs_mcd_curve": {
             f"epoch{e}": summarize_gate(load(os.path.join(
                 w, f"curve_e{e}.json")))
