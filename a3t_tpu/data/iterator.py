@@ -46,10 +46,15 @@ class PrefetchIterator:
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                try:
-                    self.q.put_nowait(self._done)
-                except queue.Full:
-                    pass
+                # the sentinel MUST land for a live consumer (a full queue
+                # without it deadlocks __next__); only a close()d iterator
+                # may skip it — its consumer is the closer
+                while not self._closed:
+                    try:
+                        self.q.put(self._done, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
         self.thread = threading.Thread(target=produce, daemon=True)
         self.thread.start()
