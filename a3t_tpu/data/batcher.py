@@ -170,13 +170,13 @@ class BucketBatcher:
 
         speech_only = getattr(self.dataset, "speech_only", False)
 
-        # int16-direct assembly: record shards store raw PCM16, so when the
-        # batch ships as int16 anyway, copy codes straight through instead
-        # of decode-to-float + re-quantize over the whole batch array
-        pcm16_direct = (
-            cfg.audio_int16
-            and self._loader is None
-            and hasattr(self.dataset, "get_pcm16")
+        # int16-direct assembly: record shards and the native loader can
+        # both emit raw PCM16, so when the batch ships as int16 anyway,
+        # copy codes straight through instead of decode-to-float +
+        # re-quantize over the whole ~28 MB batch array
+        pcm16_direct = cfg.audio_int16 and (
+            self._loader is not None
+            or hasattr(self.dataset, "get_pcm16")
         )
         audio = np.zeros(
             (b, spec.n_samples), np.int16 if pcm16_direct else np.float32)
@@ -195,7 +195,12 @@ class BucketBatcher:
         if self._loader is not None and uids:
             # native path: decode the whole batch with the C++ thread pool
             idx = [self._uid_index[u] for u in uids]
-            self._loader.load_batch(idx, spec.n_samples, out=audio[: len(idx)])
+            if pcm16_direct:
+                self._loader.load_batch_i16(
+                    idx, spec.n_samples, out=audio[: len(idx)])
+            else:
+                self._loader.load_batch(
+                    idx, spec.n_samples, out=audio[: len(idx)])
 
         for i, uid in enumerate(uids):
             if self._loader is not None:

@@ -24,8 +24,11 @@ _lib = None
 def _load():
     global _lib
     if _lib is None:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+        src = os.path.abspath(os.path.join(_NATIVE_DIR, "loader.cc"))
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if not os.path.exists(_LIB_PATH) or stale:
+            subprocess.run(["make", "-B", "-C", os.path.abspath(_NATIVE_DIR)],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.loader_new.restype = ctypes.c_void_p
@@ -42,6 +45,11 @@ def _load():
         lib.loader_load_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.loader_load_batch_i16.restype = ctypes.c_int
+        lib.loader_load_batch_i16.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     return _lib
@@ -97,6 +105,28 @@ class NativeWavLoader:
             self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             b, max_samples,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if errs:
+            raise IOError(f"{errs} failed reads in batch")
+        return out, lengths.astype(np.int32)
+
+    def load_batch_i16(
+        self, indices: Sequence[int], max_samples: int,
+        out: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode ``indices`` into a (B, max_samples) int16 PCM buffer —
+        the batcher's audio_int16 wire format, bulk-copied for 16-bit
+        sources (no float round trip)."""
+        idx = np.asarray(indices, np.int32)
+        b = len(idx)
+        if out is None:
+            out = np.empty((b, max_samples), np.int16)
+        assert out.shape == (b, max_samples) and out.dtype == np.int16
+        lengths = np.zeros(b, np.int64)
+        errs = self.lib.loader_load_batch_i16(
+            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b, max_samples,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         if errs:
             raise IOError(f"{errs} failed reads in batch")

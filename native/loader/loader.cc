@@ -13,6 +13,7 @@
 // recipes produce (recipes/* write PCM16).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -38,8 +39,12 @@ struct ChunkHeader {
 };
 #pragma pack(pop)
 
-bool read_wav(const std::string& path, float* out, int64_t max_samples,
-              WavInfo* info) {
+// Decodes into float32 (out) or straight int16 PCM codes (out_i16, the
+// batcher's audio_int16 wire format — for 16-bit sources a bulk copy, no
+// float round trip; other formats quantize with round-to-nearest-even +
+// clamp, matching numpy's rint/clip convention in data/batcher.py).
+bool read_wav_impl(const std::string& path, float* out, int16_t* out_i16,
+                   int64_t max_samples, WavInfo* info) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
   char riff[12];
@@ -82,7 +87,7 @@ bool read_wav(const std::string& path, float* out, int64_t max_samples,
   info->sample_rate = static_cast<int>(sample_rate);
   info->n_samples = frames;
 
-  if (out != nullptr) {
+  if (out != nullptr || out_i16 != nullptr) {
     const int64_t n = std::min(frames, max_samples);
     std::fseek(f, data_pos, SEEK_SET);
     std::vector<uint8_t> raw(static_cast<size_t>(n) * bytes * channels);
@@ -91,27 +96,43 @@ bool read_wav(const std::string& path, float* out, int64_t max_samples,
       return false;
     }
     const uint8_t* p = raw.data();
-    for (int64_t i = 0; i < n; ++i, p += bytes * channels) {
-      float v = 0.0f;
-      if (format == 3 && bits == 32) {  // IEEE float
-        std::memcpy(&v, p, 4);
-      } else if (bits == 16) {
-        int16_t s;
-        std::memcpy(&s, p, 2);
-        v = s / 32768.0f;
-      } else if (bits == 24) {
-        int32_t s = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
-        v = (s >> 8) / 8388608.0f;
-      } else if (bits == 32) {
-        int32_t s;
-        std::memcpy(&s, p, 4);
-        v = s / 2147483648.0f;
+    if (out_i16 != nullptr && bits == 16 && channels == 1 && format != 3) {
+      std::memcpy(out_i16, p, static_cast<size_t>(n) * 2);  // bulk path
+    } else {
+      for (int64_t i = 0; i < n; ++i, p += bytes * channels) {
+        float v = 0.0f;
+        if (format == 3 && bits == 32) {  // IEEE float
+          std::memcpy(&v, p, 4);
+        } else if (bits == 16) {
+          int16_t s;
+          std::memcpy(&s, p, 2);
+          v = s / 32768.0f;
+        } else if (bits == 24) {
+          int32_t s = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+          v = (s >> 8) / 8388608.0f;
+        } else if (bits == 32) {
+          int32_t s;
+          std::memcpy(&s, p, 4);
+          v = s / 2147483648.0f;
+        }
+        if (out_i16 != nullptr) {
+          long q = std::lrintf(v * 32768.0f);  // round-half-even, as np.rint
+          if (q < -32768) q = -32768;
+          if (q > 32767) q = 32767;
+          out_i16[i] = static_cast<int16_t>(q);
+        } else {
+          out[i] = v;
+        }
       }
-      out[i] = v;
     }
   }
   std::fclose(f);
   return true;
+}
+
+bool read_wav(const std::string& path, float* out, int64_t max_samples,
+              WavInfo* info) {
+  return read_wav_impl(path, out, nullptr, max_samples, info);
 }
 
 class ThreadPool {
@@ -236,6 +257,41 @@ int loader_load_batch(void* h, const int32_t* indices, int batch,
       WavInfo info;
       if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
           read_wav(l->paths[idx], dst, max_samples, &info)) {
+        lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
+      } else {
+        lengths[i] = 0;
+        ++errors;
+      }
+      if (++done == batch) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done == batch; });
+  return errors.load();
+}
+
+// int16 variant: fills a (B, max_samples) int16 buffer with raw PCM codes
+// (the batcher's audio_int16 wire format) — skips the decode-to-float +
+// re-quantize round trip for PCM16 corpora entirely.
+int loader_load_batch_i16(void* h, const int32_t* indices, int batch,
+                          int64_t max_samples, int16_t* out,
+                          int64_t* lengths) {
+  auto* l = static_cast<Loader*>(h);
+  std::atomic<int> errors{0};
+  std::atomic<int> done{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int i = 0; i < batch; ++i) {
+    l->pool.submit([&, i] {
+      const int idx = indices[i];
+      int16_t* dst = out + static_cast<int64_t>(i) * max_samples;
+      std::memset(dst, 0, sizeof(int16_t) * max_samples);
+      WavInfo info;
+      if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
+          read_wav_impl(l->paths[idx], nullptr, dst, max_samples, &info)) {
         lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
       } else {
         lengths[i] = 0;

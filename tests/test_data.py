@@ -305,3 +305,21 @@ def test_prefetch_iterator_close_releases_queue():
     time.sleep(0.8)
     assert len(produced) == n_after  # producer stopped
     assert it.q.qsize() <= 1  # only the done sentinel may remain
+
+
+def test_native_loader_i16_matches_float(corpus, converter):
+    """loader_load_batch_i16 emits exactly the codes the float path
+    re-quantizes to (bulk-copied for PCM16 sources)."""
+    import glob
+
+    from a3t_tpu.data.native_loader import NativeWavLoader
+
+    paths = sorted(glob.glob(os.path.join(corpus, "wav", "*.wav")))[:6]
+    if not paths:
+        pytest.skip("no wavs in fixture corpus")
+    ld = NativeWavLoader(paths, 2)
+    f32, l1 = ld.load_batch(range(len(paths)), 4000)
+    i16, l2 = ld.load_batch_i16(range(len(paths)), 4000)
+    np.testing.assert_array_equal(l1, l2)
+    ref = np.clip(np.rint(f32 * 32768.0), -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(i16, ref)
