@@ -83,6 +83,10 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        # a close()d iterator is exhausted — its queue was drained and the
+        # producer skips the sentinel, so a blocking get would never return
+        if self._closed:
+            raise StopIteration
         item = self.q.get()
         if item is self._done:
             if self._err is not None:

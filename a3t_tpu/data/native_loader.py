@@ -25,11 +25,28 @@ def _load():
     global _lib
     if _lib is None:
         src = os.path.abspath(os.path.join(_NATIVE_DIR, "loader.cc"))
-        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-        if not os.path.exists(_LIB_PATH) or stale:
-            subprocess.run(["make", "-B", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True)
+
+        def needs_build():
+            return not os.path.exists(_LIB_PATH) or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+
+        if needs_build():
+            # serialize concurrent builders and link to a temp name +
+            # atomic rename: `make -B` relinking the .so in place would
+            # truncate the inode other processes have dlopen-mapped
+            import fcntl
+
+            lock_path = _LIB_PATH + ".lock"
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                if needs_build():  # recheck under the lock
+                    tmp = _LIB_PATH + f".tmp.{os.getpid()}"
+                    subprocess.run(
+                        ["make", "-B", "-C", os.path.abspath(_NATIVE_DIR),
+                         f"TARGET={os.path.basename(tmp)}"],
+                        check=True, capture_output=True)
+                    os.replace(tmp, _LIB_PATH)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.loader_new.restype = ctypes.c_void_p
         lib.loader_new.argtypes = [ctypes.c_int]
@@ -90,25 +107,28 @@ class NativeWavLoader:
             raise IOError(f"{errs} unreadable wavs, e.g. {bad}")
         return ns, sr
 
+    def _load_batch(self, fn, dtype, cptr, indices, max_samples, out):
+        idx = np.asarray(indices, np.int32)
+        b = len(idx)
+        if out is None:
+            out = np.empty((b, max_samples), dtype)
+        assert out.shape == (b, max_samples) and out.dtype == dtype
+        lengths = np.zeros(b, np.int64)
+        errs = fn(
+            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b, max_samples, out.ctypes.data_as(ctypes.POINTER(cptr)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if errs:
+            raise IOError(f"{errs} failed reads in batch")
+        return out, lengths.astype(np.int32)
+
     def load_batch(
         self, indices: Sequence[int], max_samples: int,
         out: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Decode ``indices`` into a (B, max_samples) float32 buffer."""
-        idx = np.asarray(indices, np.int32)
-        b = len(idx)
-        if out is None:
-            out = np.empty((b, max_samples), np.float32)
-        assert out.shape == (b, max_samples) and out.dtype == np.float32
-        lengths = np.zeros(b, np.int64)
-        errs = self.lib.loader_load_batch(
-            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            b, max_samples,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        if errs:
-            raise IOError(f"{errs} failed reads in batch")
-        return out, lengths.astype(np.int32)
+        return self._load_batch(self.lib.loader_load_batch, np.float32,
+                                ctypes.c_float, indices, max_samples, out)
 
     def load_batch_i16(
         self, indices: Sequence[int], max_samples: int,
@@ -117,17 +137,5 @@ class NativeWavLoader:
         """Decode ``indices`` into a (B, max_samples) int16 PCM buffer —
         the batcher's audio_int16 wire format, bulk-copied for 16-bit
         sources (no float round trip)."""
-        idx = np.asarray(indices, np.int32)
-        b = len(idx)
-        if out is None:
-            out = np.empty((b, max_samples), np.int16)
-        assert out.shape == (b, max_samples) and out.dtype == np.int16
-        lengths = np.zeros(b, np.int64)
-        errs = self.lib.loader_load_batch_i16(
-            self.handle, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            b, max_samples,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
-        if errs:
-            raise IOError(f"{errs} failed reads in batch")
-        return out, lengths.astype(np.int32)
+        return self._load_batch(self.lib.loader_load_batch_i16, np.int16,
+                                ctypes.c_int16, indices, max_samples, out)

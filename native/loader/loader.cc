@@ -15,6 +15,7 @@
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
+#include <type_traits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -186,6 +187,54 @@ struct Loader {
   explicit Loader(int n_threads) : pool(n_threads) {}
 };
 
+// Runs job(i) for i in [0, n) on the pool, blocks until all complete,
+// returns the failure count.  The countdown AND the notify happen under
+// the mutex: the waiter can only observe completion after reacquiring it,
+// i.e. strictly after the last worker's final touch of the stack-local
+// mutex/cv — an unlocked `++done == n` check lets a spuriously-woken
+// waiter destroy them while that worker is about to lock (UB).
+template <typename Fn>
+int run_parallel(Loader* l, int64_t n, Fn&& job) {
+  std::atomic<int> errors{0};
+  int64_t done = 0;
+  std::mutex mu;
+  std::condition_variable cv;
+  for (int64_t i = 0; i < n; ++i) {
+    l->pool.submit([&, i] {
+      if (!job(i)) ++errors;
+      std::lock_guard<std::mutex> lk(mu);
+      ++done;
+      cv.notify_one();
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done == n; });
+  return errors.load();
+}
+
+// Shared batch-decode body; T selects the output sample format
+// (float32 decode or raw int16 PCM codes).
+template <typename T>
+int load_batch_t(Loader* l, const int32_t* indices, int batch,
+                 int64_t max_samples, T* out, int64_t* lengths) {
+  return run_parallel(l, batch, [&](int64_t i) {
+    const int idx = indices[i];
+    T* dst = out + i * max_samples;
+    std::memset(dst, 0, sizeof(T) * max_samples);
+    WavInfo info;
+    float* outf = nullptr;
+    int16_t* outi = nullptr;
+    if constexpr (std::is_same_v<T, float>) outf = dst; else outi = dst;
+    if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
+        read_wav_impl(l->paths[idx], outf, outi, max_samples, &info)) {
+      lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
+      return true;
+    }
+    lengths[i] = 0;
+    return false;
+  });
+}
+
 }  // namespace
 
 extern "C" {
@@ -212,31 +261,18 @@ int loader_register(void* h, const char* blob, int64_t blob_len) {
 // Header-only probe: fills n_samples/sample_rate for every registered path.
 int loader_probe(void* h, int64_t* n_samples, int32_t* sample_rates) {
   auto* l = static_cast<Loader*>(h);
-  std::atomic<int> errors{0};
-  std::atomic<size_t> done{0};
-  const size_t n = l->paths.size();
-  std::mutex mu;
-  std::condition_variable cv;
-  for (size_t i = 0; i < n; ++i) {
-    l->pool.submit([&, i] {
-      WavInfo info;
-      if (read_wav(l->paths[i], nullptr, 0, &info)) {
-        n_samples[i] = info.n_samples;
-        sample_rates[i] = info.sample_rate;
-      } else {
-        n_samples[i] = -1;
-        sample_rates[i] = -1;
-        ++errors;
-      }
-      if (++done == n) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done == n; });
-  return errors.load();
+  return run_parallel(l, static_cast<int64_t>(l->paths.size()),
+                      [&](int64_t i) {
+    WavInfo info;
+    if (read_wav(l->paths[i], nullptr, 0, &info)) {
+      n_samples[i] = info.n_samples;
+      sample_rates[i] = info.sample_rate;
+      return true;
+    }
+    n_samples[i] = -1;
+    sample_rates[i] = -1;
+    return false;
+  });
 }
 
 // Fill a zero-initialized (B, max_samples) float32 buffer with the decoded
@@ -244,33 +280,8 @@ int loader_probe(void* h, int64_t* n_samples, int32_t* sample_rates) {
 // number of failed reads.
 int loader_load_batch(void* h, const int32_t* indices, int batch,
                       int64_t max_samples, float* out, int64_t* lengths) {
-  auto* l = static_cast<Loader*>(h);
-  std::atomic<int> errors{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  for (int i = 0; i < batch; ++i) {
-    l->pool.submit([&, i] {
-      const int idx = indices[i];
-      float* dst = out + static_cast<int64_t>(i) * max_samples;
-      std::memset(dst, 0, sizeof(float) * max_samples);
-      WavInfo info;
-      if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
-          read_wav(l->paths[idx], dst, max_samples, &info)) {
-        lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
-      } else {
-        lengths[i] = 0;
-        ++errors;
-      }
-      if (++done == batch) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done == batch; });
-  return errors.load();
+  return load_batch_t(static_cast<Loader*>(h), indices, batch, max_samples,
+                      out, lengths);
 }
 
 // int16 variant: fills a (B, max_samples) int16 buffer with raw PCM codes
@@ -279,33 +290,8 @@ int loader_load_batch(void* h, const int32_t* indices, int batch,
 int loader_load_batch_i16(void* h, const int32_t* indices, int batch,
                           int64_t max_samples, int16_t* out,
                           int64_t* lengths) {
-  auto* l = static_cast<Loader*>(h);
-  std::atomic<int> errors{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
-  for (int i = 0; i < batch; ++i) {
-    l->pool.submit([&, i] {
-      const int idx = indices[i];
-      int16_t* dst = out + static_cast<int64_t>(i) * max_samples;
-      std::memset(dst, 0, sizeof(int16_t) * max_samples);
-      WavInfo info;
-      if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
-          read_wav_impl(l->paths[idx], nullptr, dst, max_samples, &info)) {
-        lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
-      } else {
-        lengths[i] = 0;
-        ++errors;
-      }
-      if (++done == batch) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
-    });
-  }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done == batch; });
-  return errors.load();
+  return load_batch_t(static_cast<Loader*>(h), indices, batch, max_samples,
+                      out, lengths);
 }
 
 }  // extern "C"

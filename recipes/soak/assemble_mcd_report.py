@@ -87,9 +87,10 @@ def main():
                 (f for f in os.listdir(w)
                  if f.startswith("sweep_") and f.endswith(".json")),
                 # numeric epoch order (epoch_2 before epoch_10), vocoder
-                # suffix second — matches the curve block above
+                # suffix second; files are named sweep_epoch_<n>_<voc>.json
                 key=lambda f: (
-                    int("".join(c for c in f if c.isdigit()) or 0), f))
+                    int(f.split("_")[2]) if f.split("_")[2].isdigit()
+                    else 0, f))
         },
         "vocoder_training": {
             "recipe": "a3t_tpu.bin.train_vocoder: 15k spectral-only + 7k "

@@ -305,6 +305,8 @@ def test_prefetch_iterator_close_releases_queue():
     time.sleep(0.8)
     assert len(produced) == n_after  # producer stopped
     assert it.q.qsize() <= 1  # only the done sentinel may remain
+    with pytest.raises(StopIteration):  # post-close iteration must not hang
+        next(it)
 
 
 def test_native_loader_i16_matches_float(corpus, converter):
