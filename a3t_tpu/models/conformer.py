@@ -50,7 +50,9 @@ class EncoderConfig:
     macaron_style: bool = True
     use_cnn_module: bool = True
     cnn_module_kernel: int = 7
-    positionwise_layer_type: str = "conv1d"  # "linear" | "conv1d"
+    # "linear" | "conv1d" | "conv1d_shifted" (conv as k shifted matmuls,
+    # identical params/numerics — a lowering choice, see _ShiftedConv1d)
+    positionwise_layer_type: str = "conv1d"
     positionwise_conv_kernel_size: int = 3
     activation_type: str = "swish"
     # "legacy_rel_selfattn" (the trained A3T path, see tasks/mlm.py:366-392)
@@ -157,10 +159,11 @@ class ConformerBlock(nn.Module):
 
     def _positionwise(self, name: str):
         c = self.config
-        if c.positionwise_layer_type == "conv1d":
+        if c.positionwise_layer_type in ("conv1d", "conv1d_shifted"):
             return MultiLayeredConv1d(
                 c.linear_units, c.positionwise_conv_kernel_size, c.dropout_rate,
                 dtype=c.dtype, name=name,
+                shifted=c.positionwise_layer_type == "conv1d_shifted",
             )
         return PositionwiseFeedForward(
             c.linear_units, c.dropout_rate, c.activation_type, dtype=c.dtype,

@@ -76,37 +76,72 @@ class PositionwiseFeedForward(nn.Module):
                         dtype=self.dtype)(h)
 
 
+class _ShiftedConv1d(nn.Module):
+    """Same-padded Conv1d computed as ``kernel_size`` shifted matmuls.
+
+    Mathematically identical to ``nn.Conv`` (same parameter names/shapes —
+    checkpoint- and TP-rule-compatible), but each tap is a plain
+    (B·T, D)x(D, H) matmul, which can map onto the MXU without the conv
+    im2col lowering.  Accumulates taps in fp32."""
+
+    features: int
+    kernel_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        kernel = self.param(
+            "kernel", xavier(), (self.kernel_size, d, self.features))
+        bias = self.param("bias", zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        k, t = self.kernel_size, x.shape[1]
+        pad = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad, k - 1 - pad), (0, 0)))
+        out = None
+        for i in range(k):
+            tap = jnp.einsum("btd,dh->bth", xp[:, i:i + t], kernel[i],
+                             preferred_element_type=jnp.float32)
+            out = tap if out is None else out + tap
+        out = out.astype(x.dtype)
+        return out + bias.astype(out.dtype)
+
+
 class MultiLayeredConv1d(nn.Module):
     """Two same-padded Conv1d with ReLU, FastSpeech-style position-wise layer
     (espnet/nets/pytorch_backend/transformer/multi_layer_conv.py, activation
-    hard-coded to ReLU)."""
+    hard-coded to ReLU).  ``shifted=True`` swaps the conv lowering for the
+    shifted-matmul formulation (identical params, see _ShiftedConv1d)."""
 
     hidden: int
     kernel_size: int
     dropout_rate: float
     dtype: Optional[jnp.dtype] = None
+    shifted: bool = False
+
+    def _conv(self, features: int, name: str):
+        if self.shifted:
+            return _ShiftedConv1d(features, self.kernel_size,
+                                  dtype=self.dtype, name=name)
+        return nn.Conv(
+            features,
+            (self.kernel_size,),
+            padding="SAME",
+            kernel_init=xavier(),
+            bias_init=zeros,
+            dtype=self.dtype,
+            name=name,
+        )
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         d = x.shape[-1]
-        h = nn.Conv(
-            self.hidden,
-            (self.kernel_size,),
-            padding="SAME",
-            kernel_init=xavier(),
-            bias_init=zeros,
-            dtype=self.dtype,
-        )(x)
+        h = self._conv(self.hidden, "Conv_0")(x)
         h = nn.relu(h)
         h = SeededDropout(self.dropout_rate)(h, deterministic=deterministic)
-        return nn.Conv(
-            d,
-            (self.kernel_size,),
-            padding="SAME",
-            kernel_init=xavier(),
-            bias_init=zeros,
-            dtype=self.dtype,
-        )(h)
+        return self._conv(d, "Conv_1")(h)
 
 
 class ConvolutionModule(nn.Module):

@@ -72,6 +72,11 @@ def build(variant: str):
     if variant == "linear_ffn":
         enc_kw["positionwise_layer_type"] = "linear"
         dec_kw["positionwise_layer_type"] = "linear"
+    if variant == "shifted_ffn":
+        # conv1d-k3 FFN as 3 shifted matmuls (identical numerics; tests
+        # whether the MXU matmul path beats XLA's conv lowering)
+        enc_kw["positionwise_layer_type"] = "conv1d_shifted"
+        dec_kw["positionwise_layer_type"] = "conv1d_shifted"
     if variant == "nopostnet":
         model_kw["postnet_layers"] = 0
     if variant in ("noattndrop", "nodrop"):
@@ -155,7 +160,7 @@ def main():
     ap.add_argument("--variants", nargs="+",
                     default=["prod", "xla_attn", "flash_only_attn_drop",
                              "nodrop", "nofrontend", "noconv",
-                             "linear_ffn", "nopostnet", "fp32"])
+                             "linear_ffn", "shifted_ffn", "nopostnet", "fp32"])
     args = ap.parse_args()
 
     import os

@@ -183,3 +183,31 @@ def test_remat_equivalence(rng):
     g = jax.grad(loss)(v2["params"])
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_shifted_conv_ffn_matches_conv():
+    """conv1d_shifted is a lowering choice, not a model change: identical
+    parameter tree (checkpoint/TP-rule compatible) and identical outputs
+    to the nn.Conv formulation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from a3t_tpu.models.layers import MultiLayeredConv1d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 17, 24)), jnp.float32)
+    conv = MultiLayeredConv1d(48, 3, 0.0)
+    shift = MultiLayeredConv1d(48, 3, 0.0, shifted=True)
+    v1 = conv.init(jax.random.PRNGKey(0), x, deterministic=True)
+    v2 = shift.init(jax.random.PRNGKey(0), x, deterministic=True)
+    # same param names/shapes, bit-identical init (same scope rng paths)
+    p1 = jax.tree_util.tree_leaves_with_path(v1)
+    p2 = jax.tree_util.tree_leaves_with_path(v2)
+    assert [k for k, _ in p1] == [k for k, _ in p2]
+    for (_, a), (_, b) in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y1 = conv.apply(v1, x, deterministic=True)
+    y2 = shift.apply(v1, x, deterministic=True)  # conv params, shifted math
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-5, atol=2e-5)
