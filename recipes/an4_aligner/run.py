@@ -368,13 +368,21 @@ def compare(utts, lexicon, htk_out, aligner):
     return np.asarray(diffs), per_utt, endpoint
 
 
-def splice_eval(utts, lexicon, aligner, htk_dir_utts=None, seed=0):
+def splice_eval(utts, lexicon, aligner, htk_dir_utts=None, seed=0,
+                zero_gap_prob: float = 0.0, optional_sil: bool = False):
     """Exact-ground-truth word-boundary test on real speech.
 
     The single-word AN4 recordings are energy-trimmed and spliced together
-    with silence gaps, so true word onsets are known by construction; both
-    the native aligner's and (optionally) HTK's recovered onsets are scored
-    against them.  Returns onset-error stats in ms.
+    with silence gaps, so true word onsets are known by construction; the
+    native aligner's recovered onsets are scored against them.
+
+    ``zero_gap_prob`` makes that fraction of the inter-word gaps
+    zero-length — natural sentences mix pauses and run-ons, and a
+    MANDATORY inter-word silence topology must then invent a pause
+    that is not there.  ``optional_sil=True`` aligns with the HVite-style
+    optional-silence topology instead (the Viterbi path may skip any
+    inter-word sil), which handles both cases.  Returns onset-error
+    stats in ms.
     """
     rng = np.random.default_rng(seed)
     single = [(uid, wav, words) for uid, wav, words in utts
@@ -389,32 +397,47 @@ def splice_eval(utts, lexicon, aligner, htk_dir_utts=None, seed=0):
     for trial in range(6):
         order = rng.permutation(len(segments))
         gap = rng.uniform(0.15, 0.4)
-        sil = np.zeros(int(gap * 16000), np.float32)
-        pieces, words, true_onsets = [sil], [], []
-        t = len(sil)
+        lead = np.zeros(int(gap * 16000), np.float32)
+        pieces, words, true_onsets = [lead], [], []
+        t = len(lead)
         for j in order:
             word, seg = segments[j]
             true_onsets.append(t / 16000.0)
+            g = 0.0 if rng.uniform() < zero_gap_prob else gap
+            sil = np.zeros(int(g * 16000), np.float32)
             pieces += [seg, sil]
             words.append(word)
             t += len(seg) + len(sil)
         wav = np.concatenate(pieces)
 
-        phones, word_start_idx = ["sil"], []
+        phones, flags, word_start_idx = ["sil"], [False], []
         for w in words:
             word_start_idx.append(len(phones))
             phones.extend(p.lower() for p in lexicon[w])
+            flags.extend([False] * len(lexicon[w]))
             phones.append("sil")
-        start, _ = aligner.align(wav, phones)
+            flags.append(optional_sil)
+        start, _ = aligner.align(
+            wav, phones, optional=flags if optional_sil else None)
         for wi, si in enumerate(word_start_idx):
-            errors.append(abs(start[si] - true_onsets[wi]) * 1000.0)
-    e = np.asarray(errors)
+            errors.append((start[si] - true_onsets[wi]) * 1000.0)
+    signed = np.asarray(errors)
+    e = np.abs(signed)
     return {
         "n_onsets": int(len(e)),
         "median_ms": float(np.median(e)),
         "p90_ms": float(np.percentile(e, 90)),
         "within_30ms_pct": float((e <= 30).mean() * 100),
         "within_50ms_pct": float((e <= 50).mean() * 100),
+        # a consistent sign = front-end framing offset, correctable like
+        # HTK's fixed timestamp shift (align_english.py:127-128)
+        "median_signed_ms": float(np.median(signed)),
+        # random component after removing the systematic offset — the
+        # part a fixed correction constant cannot fix
+        "bias_corrected_median_ms": float(
+            np.median(np.abs(signed - np.median(signed)))),
+        "bias_corrected_p90_ms": float(
+            np.percentile(np.abs(signed - np.median(signed)), 90)),
     }
 
 
@@ -429,6 +452,12 @@ def main():
                          "real AN4 utterances")
     ap.add_argument("--mix-utts", type=int, default=600)
     ap.add_argument("--htk-iters", type=int, default=8)
+    ap.add_argument("--eval-only", default="",
+                    help="path to a trained aligner .bin: skip native+HTK "
+                         "training, run the ground-truth splice evals "
+                         "(mandatory vs optional inter-word silence, with "
+                         "and without run-on zero-gaps) and write "
+                         "ALIGNER_SPLICE.json")
     args = ap.parse_args()
 
     from a3t_tpu.align.native import NativeAligner
@@ -436,6 +465,22 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     workdir = tempfile.mkdtemp(prefix="an4_")
     try:
+        if args.eval_only:
+            utts, lexicon = load_an4(workdir)
+            aligner = NativeAligner.load(args.eval_only)
+            report = {"model": args.eval_only}
+            for zgp in (0.0, 0.5):
+                for opt in (False, True):
+                    key = (f"zero_gap_{int(zgp * 100)}pct_"
+                           f"{'optional' if opt else 'mandatory'}_sil")
+                    report[key] = splice_eval(
+                        utts, lexicon, aligner,
+                        zero_gap_prob=zgp, optional_sil=opt)
+            out = os.path.join(args.out, "ALIGNER_SPLICE.json")
+            with open(out, "w") as f:
+                json.dump(report, f, indent=1)
+            print(json.dumps(report, indent=1))
+            return
         utts, lexicon = load_an4(workdir)
         real_utts = list(utts)
         if args.mix_soak:
