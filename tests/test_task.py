@@ -230,3 +230,29 @@ def test_cli_train_longformer_pallas(tmp_path):
     assert cfg.model.encoder.use_pallas_attention
     c = cfg.model.encoder.attention_window // 2
     assert all(b % c == 0 for b in cfg.batcher.bucket_frames)
+
+
+@pytest.mark.slow
+def test_cli_train_sequence_parallel(tmp_path):
+    """Config-driven training with mesh.sequence_parallel on the CPU mesh:
+    the yaml -> MeshConfig -> 3-axis mesh -> time-sharded step wiring runs
+    end-to-end and checkpoints load back."""
+    corpus = generate_mini_corpus(str(tmp_path / "data"), n_utts=8, fs=8000)
+    exp = str(tmp_path / "exp_sp")
+    conf = mini_config_dict(corpus, exp)
+    conf["mesh"] = {"data_parallel": 2, "sequence_parallel": 2,
+                    "tensor_parallel": 2}
+    conf_path = str(tmp_path / "sp.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+
+    from a3t_tpu.bin.train import main
+
+    main(["--config", conf_path, "--log-level", "WARNING"])
+    assert os.path.exists(os.path.join(exp, "config.yaml"))
+
+    from a3t_tpu.tasks import MLMTask
+
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
+    assert cfg.mesh.sequence_parallel == 2
+    assert "params" in variables
