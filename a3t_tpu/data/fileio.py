@@ -11,9 +11,10 @@ Supports the file formats the A3T recipes actually use
 * ``*_shape``       — ``uttid 123,80`` (collect-stats output)
 * ``feats.scp``-style npy pointers (npy)
 
-WAV IO uses scipy (PCM16/24/32/float); there is no libsndfile in the image,
-so FLAC sources must be converted at prep time (the reference recipes also
-convert via format_wav_scp.sh, egs2/TEMPLATE/.../format_wav_scp.sh).
+WAV IO uses scipy (PCM16/24/32/float); FLAC uses the framework's own codec
+(a3t_tpu/data/flac.py — the image has no libsndfile), dispatched on the
+container magic so scp entries may mix formats, like the reference's
+soundfile reads (espnet2/fileio/sound_scp.py).
 """
 
 from __future__ import annotations
@@ -69,7 +70,23 @@ def write_2column_text(path: str, data: dict[str, str]):
 # ---------------------------------------------------------------------------
 
 def read_wav(path: str, always_float: bool = True) -> tuple[int, np.ndarray]:
-    """Read a PCM/float WAV; returns (fs, float32 array in [-1, 1])."""
+    """Read a PCM/float WAV or FLAC; returns (fs, float32 in [-1, 1]).
+
+    Dispatches on the container magic, so ``wav.scp`` entries may mix
+    formats — matching the reference's soundfile-based SoundScpReader
+    (espnet2/fileio/sound_scp.py), whose recipes store FLAC by default
+    (format_wav_scp.sh ``audio_format=flac``).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from a3t_tpu.data.flac import read_flac
+
+        fs, data, bps = read_flac(path)
+        if always_float:
+            data = data.astype(np.float32) / float(1 << (bps - 1))
+        return fs, data
+
     from scipy.io import wavfile
 
     fs, data = wavfile.read(path)

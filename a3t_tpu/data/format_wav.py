@@ -11,8 +11,10 @@ the vocoder all assume the configured fs.
 TPU-native replacement: polyphase resampling with
 ``scipy.signal.resample_poly`` (the same algorithm family sox uses) on the
 host at prep time — resampling is a one-off IO pass, not a training-loop
-op.  FLAC decoding needs libsndfile, which this image does not ship; the
-``soundfile`` import hook below picks it up automatically where it exists.
+op.  FLAC IO uses the framework's own codec (a3t_tpu/data/flac.py), both
+for reading sources and optionally as the formatted-output storage format
+(``audio_format="flac"``, the reference's default); other containers fall
+back to a ``soundfile`` hook where that library exists.
 """
 
 from __future__ import annotations
@@ -27,17 +29,18 @@ from a3t_tpu.data.fileio import read_2column_text, read_wav, write_2column_text,
 
 
 def read_audio(path: str) -> tuple[int, np.ndarray]:
-    """Read .wav (scipy) or .flac/.ogg (soundfile, where available)."""
+    """Read .wav (scipy) or .flac (framework codec); returns multi-channel
+    data as (n, ch) so :func:`to_mono` can downmix."""
     ext = os.path.splitext(path)[1].lower()
-    if ext == ".wav":
-        return read_wav(path)
+    if ext in (".wav", ".flac"):
+        return read_wav(path)  # dispatches on the container magic
     try:
         import soundfile  # hook: present in full environments only
     except ImportError as e:
         raise RuntimeError(
-            f"{path}: non-WAV audio needs libsndfile/soundfile, which this "
-            "environment does not provide — convert to PCM WAV upstream "
-            "(the reference recipe's format_wav_scp.sh sox/flac stage)"
+            f"{path}: {ext} audio needs libsndfile/soundfile, which this "
+            "environment does not provide — convert to PCM WAV or FLAC "
+            "upstream (the reference recipe's format_wav_scp.sh sox stage)"
         ) from e
     data, fs = soundfile.read(path, dtype="float32")
     return int(fs), np.asarray(data, np.float32)
@@ -67,13 +70,18 @@ def format_data_dir(
     fs: int,
     wav_subdir: str = "formatted_wav",
     expected_source_fs: Optional[int] = None,
+    audio_format: str = "wav",
 ) -> dict:
     """Format every utterance of a Kaldi-style data dir to mono PCM16 @ fs.
 
     Copies ``text``/``utt2spk``/``mfa_*`` through unchanged (alignment times
     are in seconds, invariant under resampling) and rewrites ``wav.scp`` to
-    the converted files.  Returns a report dict (per-source-fs counts).
+    the converted files.  ``audio_format`` selects wav or flac output (the
+    reference's format_wav_scp.sh defaults to flac storage; both feed the
+    loaders identically).  Returns a report dict (per-source-fs counts).
     """
+    if audio_format not in ("wav", "flac"):
+        raise ValueError(f"audio_format {audio_format!r} (want wav|flac)")
     os.makedirs(out_dir, exist_ok=True)
     wav_dir = os.path.join(out_dir, wav_subdir)
     os.makedirs(wav_dir, exist_ok=True)
@@ -87,8 +95,13 @@ def format_data_dir(
                 f"{uid}: source fs {fs_in} != expected {expected_source_fs}")
         fs_seen[fs_in] = fs_seen.get(fs_in, 0) + 1
         wav = resample(to_mono(wav), fs_in, fs)
-        out_path = os.path.join(wav_dir, f"{uid}.wav")
-        write_wav(out_path, fs, wav)
+        out_path = os.path.join(wav_dir, f"{uid}.{audio_format}")
+        if audio_format == "flac":
+            from a3t_tpu.data.flac import write_flac
+
+            write_flac(out_path, fs, wav)
+        else:
+            write_wav(out_path, fs, wav)
         new_scp[uid] = out_path
     write_2column_text(os.path.join(out_dir, "wav.scp"), new_scp)
 

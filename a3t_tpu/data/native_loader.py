@@ -24,12 +24,14 @@ _lib = None
 def _load():
     global _lib
     if _lib is None:
-        src = os.path.abspath(os.path.join(_NATIVE_DIR, "loader.cc"))
+        srcs = [os.path.abspath(os.path.join(_NATIVE_DIR, n))
+                for n in ("loader.cc", "flac.cc", "flac.h")]
 
         def needs_build():
-            return not os.path.exists(_LIB_PATH) or (
-                os.path.exists(src)
-                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+            return not os.path.exists(_LIB_PATH) or any(
+                os.path.exists(s)
+                and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+                for s in srcs)
 
         if needs_build():
             # serialize concurrent builders and link to a temp name +

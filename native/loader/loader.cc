@@ -8,9 +8,10 @@
 // Python (ctypes) hands the buffer straight to jax.device_put — no
 // per-utterance Python object churn on the hot path.
 //
-// WAV support: RIFF/WAVE with PCM16, PCM24, PCM32, IEEE float32 (mono; for
-// multi-channel the first channel is taken), which covers the corpora the
-// recipes produce (recipes/* write PCM16).
+// Format support: RIFF/WAVE with PCM16, PCM24, PCM32, IEEE float32, and
+// FLAC (flac.cc — the reference's format_wav_scp.sh default storage
+// format).  Mono; for multi-channel the first channel is taken.  The
+// recipes write PCM16 wav or flac (data/format_wav.py).
 
 #include <atomic>
 #include <cmath>
@@ -26,12 +27,11 @@
 #include <thread>
 #include <vector>
 
+#include "flac.h"
+
 namespace {
 
-struct WavInfo {
-  int sample_rate = 0;
-  int64_t n_samples = 0;
-};
+using WavInfo = a3t_flac::AudioInfo;
 
 #pragma pack(push, 1)
 struct ChunkHeader {
@@ -131,9 +131,23 @@ bool read_wav_impl(const std::string& path, float* out, int16_t* out_i16,
   return true;
 }
 
-bool read_wav(const std::string& path, float* out, int64_t max_samples,
-              WavInfo* info) {
-  return read_wav_impl(path, out, nullptr, max_samples, info);
+// Container dispatch: FLAC or RIFF/WAVE, sniffed by magic bytes (the
+// registry mixes formats freely, like the reference's soundfile reads).
+bool read_audio_impl(const std::string& path, float* out, int16_t* out_i16,
+                     int64_t max_samples, WavInfo* info) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  char magic[4] = {0};
+  size_t got = std::fread(magic, 1, 4, f);
+  std::fclose(f);
+  if (got == 4 && std::memcmp(magic, "fLaC", 4) == 0)
+    return a3t_flac::read_flac_impl(path, out, out_i16, max_samples, info);
+  return read_wav_impl(path, out, out_i16, max_samples, info);
+}
+
+bool read_audio(const std::string& path, float* out, int64_t max_samples,
+                WavInfo* info) {
+  return read_audio_impl(path, out, nullptr, max_samples, info);
 }
 
 class ThreadPool {
@@ -226,7 +240,7 @@ int load_batch_t(Loader* l, const int32_t* indices, int batch,
     int16_t* outi = nullptr;
     if constexpr (std::is_same_v<T, float>) outf = dst; else outi = dst;
     if (idx >= 0 && idx < static_cast<int>(l->paths.size()) &&
-        read_wav_impl(l->paths[idx], outf, outi, max_samples, &info)) {
+        read_audio_impl(l->paths[idx], outf, outi, max_samples, &info)) {
       lengths[i] = std::min<int64_t>(info.n_samples, max_samples);
       return true;
     }
@@ -264,7 +278,7 @@ int loader_probe(void* h, int64_t* n_samples, int32_t* sample_rates) {
   return run_parallel(l, static_cast<int64_t>(l->paths.size()),
                       [&](int64_t i) {
     WavInfo info;
-    if (read_wav(l->paths[i], nullptr, 0, &info)) {
+    if (read_audio(l->paths[i], nullptr, 0, &info)) {
       n_samples[i] = info.n_samples;
       sample_rates[i] = info.sample_rate;
       return true;
