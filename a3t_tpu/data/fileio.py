@@ -80,6 +80,13 @@ def read_wav(path: str, always_float: bool = True) -> tuple[int, np.ndarray]:
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == b"fLaC":
+        if always_float:
+            try:  # C++ decoder (native/loader/flac.cc): fast path
+                from a3t_tpu.data.native_loader import read_file
+
+                return read_file(path)
+            except Exception:
+                pass  # no toolchain / malformed probe — try the Python twin
         from a3t_tpu.data.flac import read_flac
 
         fs, data, bps = read_flac(path)

@@ -70,8 +70,34 @@ def _load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
             ctypes.POINTER(ctypes.c_int64)]
+        lib.loader_read_file.restype = ctypes.c_int
+        lib.loader_read_file.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     return _lib
+
+
+def read_file(path: str) -> tuple[int, np.ndarray]:
+    """Single-file native decode (wav or flac): (fs, float32 in [-1, 1]).
+
+    The fast path behind ``fileio.read_wav`` for FLAC — the pure-Python
+    decoder is correct but slow at corpus scale.  Raises IOError if the
+    native library can't parse the file.
+    """
+    lib = _load()
+    ns = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    enc = path.encode()
+    if not lib.loader_read_file(enc, None, 0, ctypes.byref(ns),
+                                ctypes.byref(sr)):
+        raise IOError(f"native probe failed: {path}")
+    out = np.empty(ns.value, np.float32)
+    if not lib.loader_read_file(
+            enc, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ns.value, ctypes.byref(ns), ctypes.byref(sr)):
+        raise IOError(f"native decode failed: {path}")
+    return int(sr.value), out
 
 
 class NativeWavLoader:

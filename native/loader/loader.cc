@@ -308,4 +308,17 @@ int loader_load_batch_i16(void* h, const int32_t* indices, int batch,
                       out, lengths);
 }
 
+// Registry-free single-file decode for fileio.read_wav's FLAC fast path
+// (prep/eval reads outside the batch pipeline).  Probe with out=null to
+// get n_samples/sample_rate, then call again with a buffer.  Returns 1 on
+// success, 0 on failure.
+int loader_read_file(const char* path, float* out, int64_t max_samples,
+                     int64_t* n_samples, int32_t* sample_rate) {
+  WavInfo info;
+  if (!read_audio_impl(path, out, nullptr, max_samples, &info)) return 0;
+  *n_samples = info.n_samples;
+  *sample_rate = info.sample_rate;
+  return 1;
+}
+
 }  // extern "C"

@@ -159,6 +159,32 @@ def test_native_loader_decodes_flac(tmp_path, rng):
     np.testing.assert_allclose(outf2[0], x1[:1234] / 32768.0, atol=1e-7)
 
 
+def test_native_single_file_read_matches_python(tmp_path, rng):
+    """loader_read_file (fileio.read_wav's FLAC fast path) vs the Python
+    decoder, for flac AND wav containers."""
+    from a3t_tpu.data.fileio import read_wav, write_wav
+    from a3t_tpu.data.native_loader import read_file
+
+    x = _speechlike(rng, 8000)
+    fp = os.path.join(str(tmp_path), "s.flac")
+    wp = os.path.join(str(tmp_path), "s.wav")
+    write_flac(fp, 16000, x)
+    write_wav(wp, 16000, x / 32768.0)  # write_wav re-quantizes (32767 scale)
+    fs, wav = read_file(fp)
+    assert fs == 16000 and wav.dtype == np.float32
+    np.testing.assert_allclose(wav, x / 32768.0, atol=1e-7)
+    # wav container: native decode == the scipy path on the same file
+    from scipy.io import wavfile
+
+    _, on_disk = wavfile.read(wp)
+    fs, wav = read_file(wp)
+    assert fs == 16000
+    np.testing.assert_allclose(wav, on_disk / 32768.0, atol=1e-7)
+    # and the fileio dispatch lands on the same samples
+    fs, via_fileio = read_wav(fp)
+    np.testing.assert_array_equal(via_fileio, read_file(fp)[1])
+
+
 def test_native_loader_rejects_corrupt_flac(tmp_path, rng):
     from a3t_tpu.data.native_loader import NativeWavLoader
 
