@@ -40,6 +40,15 @@ def _batch_weight(batch) -> float:
     return 1.0
 
 
+def _total_notfinite(opt_state):
+    """Cumulative skipped-step count from optax.apply_if_finite, or None
+    when the optimizer isn't wrapped (e.g. tests with a bare optimizer)."""
+    tn = getattr(opt_state, "total_notfinite", None)
+    if tn is None:
+        return None
+    return int(jax.device_get(tn))
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     max_epoch: int = 1500
@@ -97,6 +106,7 @@ class Trainer:
         # reference's num_att_plot path, trainer.py:764+); called as
         # plot_fn(state, epoch) after validation
         self.plot_fn = plot_fn
+        self._last_epoch_steps = 0
 
     def run(self, state):
         cfg = self.config
@@ -124,9 +134,22 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epoch + 1):
             epoch_t0 = time.perf_counter()
             self.reporter.start_epoch(epoch)
+            notfinite_before = _total_notfinite(state.opt_state)
             state = self.train_one_epoch(state, epoch, skip_iters)
             skip_iters = 0
             jax.block_until_ready(state.params)
+            # stop when every step of the epoch was skipped as non-finite
+            # (reference trainer.py:445-451 all_steps_are_invalid)
+            notfinite_after = _total_notfinite(state.opt_state)
+            if (notfinite_before is not None
+                    and self._last_epoch_steps > 0
+                    and notfinite_after - notfinite_before
+                    >= self._last_epoch_steps):
+                logger.warning(
+                    "the gradients at all %d steps of epoch %d were "
+                    "non-finite — something is wrong; stopping training",
+                    self._last_epoch_steps, epoch)
+                break
             if self.valid_iter_factory is not None and self.eval_step is not None:
                 self.validate_one_epoch(state, epoch)
             if self.plot_fn is not None:
@@ -188,6 +211,7 @@ class Trainer:
         t_last = time.perf_counter()
         profiling = False
         pending: list = []
+        self._last_epoch_steps = 0
         for it, batch in enumerate(self.train_iter_factory(epoch)):
             if cfg.num_iters_per_epoch is not None and it >= cfg.num_iters_per_epoch:
                 break
@@ -208,6 +232,7 @@ class Trainer:
             t0 = time.perf_counter()
             sub.register_time("iter", t0 - t_last)
             state, stats = self.train_step(state, batch, step_rng)
+            self._last_epoch_steps += 1
             # Steps are dispatched asynchronously; stats stay on device and
             # only synchronize at log points, so the host keeps feeding the
             # chip (the reference blocks per step for its reporter).

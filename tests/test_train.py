@@ -356,6 +356,32 @@ def test_restore_portable_roundtrip(rng, tmp_path):
                                np.asarray(tree["params"]["w"]))
 
 
+def test_all_steps_invalid_stops_training(rng):
+    """When every step of an epoch is skipped as non-finite, the trainer
+    stops instead of looping to max_epoch (reference trainer.py:445-451
+    all_steps_are_invalid)."""
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32, warmup_steps=20))
+    clean = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    state = create_train_state(model, tx, featurize(fe, clean,
+                                                    use_fused=False))
+    bad_np = tiny_batch(rng)
+    bad_np["audio"] = np.full_like(bad_np["audio"], np.nan)
+    bad = {k: jnp.asarray(v) for k, v in bad_np.items()}
+
+    before = np.asarray(
+        state.params["decoder"]["after_norm"]["scale"]).copy()
+    cfg = TrainerConfig(max_epoch=5, num_iters_per_epoch=2, log_interval=100)
+    trainer = Trainer(cfg, make_train_step(model, fe, donate=False), None,
+                      lambda epoch: [bad] * 2)
+    state = trainer.run(state)
+    assert trainer.reporter.epoch == 1   # stopped after the first epoch
+    # apply_if_finite skipped every update: params are bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(state.params["decoder"]["after_norm"]["scale"]), before)
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end(rng, tmp_path):
     model = tiny_model()
