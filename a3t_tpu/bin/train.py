@@ -33,6 +33,12 @@ def main(argv=None):
                         choices=["unsafe_rbg", "threefry2x32"],
                         help="dropout/masking PRNG; rbg is ~25%% faster "
                              "on TPU, threefry is the splittable reference")
+    parser.add_argument("--detect-anomaly", action="store_true",
+                        help="fail fast at the op that produced a NaN "
+                             "(jax_debug_nans — the reference's "
+                             "--detect_anomaly, abs_task.py:1091-1093; "
+                             "disables the non-finite skip-and-continue "
+                             "path and slows training, debug only)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -43,6 +49,8 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_default_prng_impl", args.prng)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     from a3t_tpu.tasks import MLMTask, load_config
 
