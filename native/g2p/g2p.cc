@@ -44,34 +44,42 @@ bool is_voiced(char c) {
 // single-letter default must exist for every letter.
 const Rule kRules[] = {
     // --- A ---
+    {"", "ATION", "#", "EY1 SH AH0 N"},  // nation, alteration
+    {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
+    {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
     {"", "AIR", "", "EH1 R"},
     {"", "AI", "", "EY1"},
     {"", "AY", "", "EY1"},
     {"", "AU", "", "AO1"},
     {"#", "AL", "#", "AH0 L"},
+    {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
+    {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
+    {"", "A", "NGE#", "EY1"},   // change, grange, lange
+    {"", "A", "R$", "EH1"},     // tara, a before r+vowel
     {"", "AW", "", "AO1"},
     {"", "AR", "#", "ER0"},
     {"", "AR", "", "AA1 R"},
-    {"", "A", "^E#", "EY1"},
-    {"", "A", "^ES#", "EY1"},   // magic e survives -es (drakes, cakes)
-    {"", "A", "^ED#", "EY1"},   // ... and -ed (packed excluded by ^ = one)
+    {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"", "A", "^I#", "EY1"},
     {"#:", "A", "#", "AH0"},
     {"&:", "A", "#", "AH0"},    // polysyllabic final a -> schwa (tufa)
     {"", "A", "", "AE1"},
     // --- B ---
-    {"", "BB", "", "B"},
+    {"", "BB", "", "B B"},
     {"", "B", "#", "B"},
     {"", "B", "", "B"},
     // --- C ---
+    {"#", "CHR", "", "K R"},    // christ-, chrome
     {"", "CIA", "", "SH AH0"},  // indicia, valencia
+    {"", "CI", "$", "SH"},      // -cio/-cious/-cie (gumucio, gracious)
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
     {"", "CC", "", "K"},
+    {"#", "COME", "#", "K AH1 M"},
     {"", "C", "", "K"},
     // --- D ---
-    {"", "DD", "", "D"},
+    {"", "DD", "", "D D"},
     // -ed after a voiceless consonant devoices to /t/ (packed, washed);
     // context is the spelling letter before the silenced e
     {"KE", "D", "#", "T"},
@@ -95,23 +103,25 @@ const Rule kRules[] = {
     {"&:Z", "E", "S#", "IH0"},
     {"&:X", "E", "S#", "IH0"},
     {"&:H", "E", "S#", "IH0"},  // -shes/-ches
+    {"&:^", "E", "LY#", ""},    // silent e before -ly (wakely, lately)
     {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
     {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
-    {"", "E", "^E#", "IY1"},    // magic e on e itself (eke, theme)
-    {"", "E", "^ES#", "IY1"},
-    {"", "E", "^ED#", "IY1"},
-    {"", "EAR", "", "IH1 R"},
+    {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
+    {"", "EAR", "", "IY1 R"},
     {"", "EE", "", "IY1"},
     {"", "EA", "", "IY1"},
     {"", "EIGH", "", "EY1"},
     {"", "EI", "", "IY1"},
     {"", "EY", "", "IY1"},
+    {"", "EU", "", "Y UW1"},    // euro, neuser
+    {"", "E", "O", "IY1"},      // geotropism, carreon
     {"", "EW", "", "UW1"},
     {"", "ER", "#", "ER0"},
     {"", "ER", "", "ER1"},
     {"", "E", "", "EH1"},
     // --- F ---
-    {"", "FF", "", "F"},
+    {"", "FUL", "#", "F UH1 L"},  // powerful, useful
+    {"", "FF", "", "F F"},
     {"", "F", "", "F"},
     // --- G ---
     {"", "GG", "", "G"},
@@ -131,54 +141,70 @@ const Rule kRules[] = {
     {"", "IE", "#", "AY1"},
     {"", "IE", "D#", "AY1"},    // monosyllabic died/tried
     {"", "IE", "S#", "AY1"},
+    {"", "IRE", "", "AY1 R"},   // admire, fire (magic e across r)
+    {"", "I", "R$", "AY1"},     // quiroz, i before r+vowel
     {"", "IR", "", "ER1"},
-    {"", "I", "^E#", "AY1"},
-    {"", "I", "^ES#", "AY1"},   // magic e survives -es (miles)
-    {"", "I", "^ED#", "AY1"},   // timed, fired
-    {"", "I", "ND#", "AY1"},
+    {"", "I", "^%#", "AY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
+    {"", "I", "ND", "AY1"},
     {"", "ING", "#", "IH0 NG"},
     {"", "I", "", "IH1"},
     // --- J ---
     {"", "J", "", "JH"},
     // --- K ---
     {"#", "KN", "", "N"},
-    {"", "KK", "", "K"},
+    {"", "KK", "", "K K"},
     {"", "K", "", "K"},
     // --- L ---
     {"", "LL", "", "L"},
     {"^", "LE", "#", "AH0 L"},  // syllabic -le (able, table)
+    {"^", "LES", "#", "AH0 L Z"},     // riddles
+    {"^", "LER", "#", "AH0 L ER0"},   // angler, mechler, stemmler
+    {"^", "LEY", "#", "AH0 L IH0"},   // stabley
+    {"^", "LING", "#", "AH0 L IH0 NG"},  // swindling
     {"", "L", "", "L"},
     // --- M ---
-    {"", "MM", "", "M"},
+    {"", "MM", "", "M M"},
     {"", "MB", "#", "M"},
     {"", "M", "", "M"},
     // --- N ---
-    {"", "NG", "+", "N JH"},    // soft g after n (changer, danger)
+    {"", "NGE", "#", "N JH"},   // soft g on final -nge (change)
+    {"A", "NG", "+", "N JH"},   // ranges, dangers, tangible
+    {"", "NG", "$", "NG G"},    // dischinger, goetzinger
     {"", "NG", "", "NG"},
-    {"", "NN", "", "N"},
+    {"", "NN", "", "N N"},
     {"", "N", "", "N"},
     // --- O ---
+    {"", "OTHER", "", "AH1 DH ER0"},  // other(s), mother, brother
     {"", "OUGH", "#", "OW1"},
     {"", "OO", "K", "UH1"},
     {"", "OO", "", "UW1"},
     {"", "OA", "", "OW1"},
+    {"", "OE", "", "OW1"},      // doe, inscoe, goetz
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
+    {"", "OU", "R", "AO1"},     // course, lathouris
     {"", "OU", "", "AW1"},
-    {"", "OW", "#", "OW1"},
-    {"", "OW", "", "AW1"},
+    {"", "OW", "$", "AW1"},     // power, howard
+    {"", "OW", "", "OW1"},      // the binary's ow default (browner, rowly)
+    {"W", "OR", "^", "ER1"},    // work, word, worms
+    {"", "OR", "#", "ER0"},     // unstressed final -or (doctor, hornor)
+    {"", "OR", "S#", "ER0"},    // ... and its plural (savors)
     {"", "OR", "", "AO1 R"},
     {"", "OL", "D", "OW1 L"},   // old/gold/beholden family
     {"", "O", "FF", "AO1"},     // off/office
+    {"", "O", "X", "AA1"},      // oxalis, oxygen
+    {"", "O", "NG", "AO1"},     // long, song, longhi
+    {"", "O", "H$", "OW1"},     // coherence, cohen
+    {"$", "O", "N#", "AH1"},    // carreon (vowel hiatus + final n)
+    {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
+    {"#S", "OME", "", "AH1 M"},  // some(thing), somebody
     {"#", "O", "^&", "OW1"},    // word-initial open syllable (open, omead)
-    {"", "O", "^E#", "OW1"},
-    {"", "O", "^ES#", "OW1"},   // magic e survives -es/-ed (dosed, notes)
-    {"", "O", "^ED#", "OW1"},
+    {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"", "O", "#", "OW1"},
     {"", "O", "", "AA1"},
     // --- P ---
     {"", "PH", "", "F"},
-    {"", "PP", "", "P"},
+    {"", "PP", "", "P P"},
     {"", "P", "", "P"},
     // --- Q ---
     {"", "QU", "", "K W"},
@@ -188,32 +214,55 @@ const Rule kRules[] = {
     {"#", "RE", "^$", "R IY0"},  // re- prefix (repack, return)
     {"", "R", "", "R"},
     // --- S ---
+    {"", "SCH", "", "S K"},     // the binary's sch (schwinn -> S K W)
     {"", "SH", "", "SH"},
+    {"", "SCIA", "", "SH AH0"},   // coscia
+    {"", "SSUE", "#", "SH UW1"},  // issue, tissue
     {"", "SS", "", "S"},
+    {"", "SION", "", "ZH AH0 N"},
     {"#", "S", "", "S"},
+    {"", "SURE", "#", "ZH ER0"},  // lesure, composure (non-initial)
     // plural -s after a voiceless stop + silent e stays /s/ (drakes)
     {"KE", "S", "#", "S"},
     {"PE", "S", "#", "S"},
     {"TE", "S", "#", "S"},
     {"FE", "S", "#", "S"},
     {".", "S", "#", "Z"},
-    {"$", "S", "#", "Z"},
-    {"", "SION", "", "ZH AH0 N"},
+    {"E", "S", "#", "Z"},       // houses, riddles (post-silent-e s)
+    {"", "S", "M", "Z"},        // -ism (geotropism)
+    {"$", "S", "E#", "Z"},      // vowel + se# voices (hise, rose)
+    {"$", "S", "$", "Z"},       // intervocalic s (rosener, myosin)
     {"", "S", "", "S"},
     // --- T ---
+    {"#", "THE", "#", "DH AH0"},
+    {"", "TH", "ER", "DH"},     // weather, rather
     {"", "TH", "", "TH"},
-    {"", "TT", "", "T"},
+    {"", "TT", "", "T T"},
     {"", "TION", "", "SH AH0 N"},
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
     {"", "T", "", "T"},
     // --- U ---
+    {"#", "UN", "^", "AH1 N"},   // un- prefix (under, unfit)
+    {"#", "UN", "E", "AH1 N"},   // uneconomic, unequal
     {"T", "URE", "#", "CH ER0"},  // nature, future
     {"", "URE", "#", "UH1 R"},    // cure, pure, inure
     {"", "UR", "", "ER1"},
-    {"", "U", "^E#", "UW1"},
-    {"", "U", "^ES#", "UW1"},
-    {"", "U", "^ED#", "UW1"},
-    {"", "U", "^$", "UW1"},     // open syllable (music, tufa)
+    {"L", "UE", "#", "UW1"},    // blue
+    {"R", "UE", "#", "UW1"},    // true
+    {"D", "UE", "#", "UW1"},    // due
+    {"J", "UE", "#", "UW1"},
+    {"L", "UE", "", "UW1 EH1"},  // fluent, luehring
+    {"R", "UE", "", "UW1 EH1"},
+    {"", "UE", "", "Y UW1"},    // cue, buerge
+    // long u: bare UW after l/r/j (rule, june), else Y UW (cube, music)
+    {"L", "U", "^%#", "UW1"},
+    {"R", "U", "^%#", "UW1"},
+    {"J", "U", "^%#", "UW1"},
+    {"", "U", "^%#", "Y UW1"},
+    {"L", "U", "^$", "UW1"},
+    {"R", "U", "^$", "UW1"},
+    {"J", "U", "^$", "UW1"},
+    {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
     {"", "U", "", "AH1"},
     // --- V ---
     {"", "V", "", "V"},
@@ -222,14 +271,13 @@ const Rule kRules[] = {
     {"", "WH", "", "W"},
     {"", "W", "", "W"},
     // --- X ---
-    {"#", "X", "", "Z"},
-    {"", "X", "", "K S"},
+    {"", "X", "", "K S"},       // the binary reads initial x as K S too
     // --- Y ---
     {"#", "Y", "", "Y"},
     {"", "Y", "#", "IY0"},
     {"", "Y", "", "IH1"},
     // --- Z ---
-    {"", "ZZ", "", "Z"},
+    {"", "ZZ", "", "Z Z"},
     {"", "Z", "", "Z"},
 };
 

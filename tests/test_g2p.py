@@ -80,8 +80,11 @@ def test_native_g2p_handles_garbage():
 def test_native_g2p_agreement_floor():
     """Phone-level agreement floor vs the reference english2phoneme binary
     and the CMU dictionary (full eval: recipes/g2p_eval/run.py ->
-    docs/G2P_EVAL.json).  Measured at round 3: 0.90 vs the binary, 0.79 vs
-    CMU (the binary itself scores 0.78 vs CMU)."""
+    docs/G2P_EVAL.json).  Measured at round 3 after the behavioral
+    rule-tuning pass: 0.94-0.95 vs the binary across seeds 0/7/21 (dev
+    seed was 7; this floor uses held-out seed 21), 0.77-0.79 vs CMU (the
+    binary itself scores 0.78-0.79 vs CMU — it emits literal doubled
+    consonants, which CMU collapses)."""
     import os
     import sys
 
@@ -96,13 +99,13 @@ def test_native_g2p_agreement_floor():
         sample_words,
     )
 
-    cmu = sample_words(150, seed=7)
+    cmu = sample_words(150, seed=21)
     words = list(cmu)
     ref = reference_g2p(words)
     ours = {w: native_g2p(w.lower()) for w in words}
     vs_bin = float(np.mean([accuracy(ours[w], ref[w]) for w in words]))
     vs_cmu = float(np.mean([accuracy(ours[w], cmu[w]) for w in words]))
-    assert vs_bin >= 0.82, vs_bin
+    assert vs_bin >= 0.88, vs_bin
     assert vs_cmu >= 0.72, vs_cmu
 
 
