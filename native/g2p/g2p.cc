@@ -56,6 +56,7 @@ const Rule kRules[] = {
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
     {"", "A", "NGE#", "EY1"},   // change, grange, lange
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
+    {"", "A", "S$", "EY1"},     // casa, masochist
     {"", "AW", "", "AO1"},
     {"", "AR", "#", "ER0"},
     {"", "AR", "", "AA1 R"},
@@ -71,7 +72,8 @@ const Rule kRules[] = {
     // --- C ---
     {"#", "CHR", "", "K R"},    // christ-, chrome
     {"", "CIA", "", "SH AH0"},  // indicia, valencia
-    {"", "CI", "$", "SH"},      // -cio/-cious/-cie (gumucio, gracious)
+    {"", "CIE", "", "S IY0"},   // muncie, acierno
+    {"", "CI", "$", "SH"},      // -cio/-cious (gumucio, gracious)
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
@@ -104,6 +106,7 @@ const Rule kRules[] = {
     {"&:X", "E", "S#", "IH0"},
     {"&:H", "E", "S#", "IH0"},  // -shes/-ches
     {"&:^", "E", "LY#", ""},    // silent e before -ly (wakely, lately)
+    {"&:^", "E", "FUL#", ""},   // silent e before -ful (tuneful)
     {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
     {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
     {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
@@ -136,12 +139,17 @@ const Rule kRules[] = {
     {"", "H", "", "HH"},
     // --- I ---
     {"", "IGH", "", "AY1"},
+    {"", "IGN", "#", "AY1 N"},  // sign, assign
+    {"", "IGN", "%", "AY1 N"},  // assigning, signed
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
     {"&:^", "IES", "#", "IY0 Z"},  // ... -ies (ladies)
+    {"&:^", "IE", "#", "IY0"},     // allie, charlie
     {"", "IE", "#", "AY1"},
     {"", "IE", "D#", "AY1"},    // monosyllabic died/tried
     {"", "IE", "S#", "AY1"},
-    {"", "IRE", "", "AY1 R"},   // admire, fire (magic e across r)
+    {"", "IRE", "#", "AY1 R"},  // fire, admire
+    {"", "IRE", "S#", "AY1 R"},
+    {"", "IRE", "D#", "AY1 R"},
     {"", "I", "R$", "AY1"},     // quiroz, i before r+vowel
     {"", "IR", "", "ER1"},
     {"", "I", "^%#", "AY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
@@ -177,6 +185,7 @@ const Rule kRules[] = {
     {"", "OTHER", "", "AH1 DH ER0"},  // other(s), mother, brother
     {"", "OUGH", "#", "OW1"},
     {"", "OO", "K", "UH1"},
+    {"", "OO", "D", "UH1"},     // wood, good, hagewood
     {"", "OO", "", "UW1"},
     {"", "OA", "", "OW1"},
     {"", "OE", "", "OW1"},      // doe, inscoe, goetz
@@ -229,6 +238,7 @@ const Rule kRules[] = {
     {"FE", "S", "#", "S"},
     {".", "S", "#", "Z"},
     {"E", "S", "#", "Z"},       // houses, riddles (post-silent-e s)
+    {"A", "S", "$", "S"},       // casa, masochist (no voicing after a)
     {"", "S", "M", "Z"},        // -ism (geotropism)
     {"$", "S", "E#", "Z"},      // vowel + se# voices (hise, rose)
     {"$", "S", "$", "Z"},       // intervocalic s (rosener, myosin)
@@ -242,6 +252,8 @@ const Rule kRules[] = {
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
     {"", "T", "", "T"},
     // --- U ---
+    {"", "UY", "", "AY1"},       // guyer, uyehara
+    {"#", "UR", "$", "Y UH1 R"}, // urinary, uranium
     {"#", "UN", "^", "AH1 N"},   // un- prefix (under, unfit)
     {"#", "UN", "E", "AH1 N"},   // uneconomic, unequal
     {"T", "URE", "#", "CH ER0"},  // nature, future
@@ -258,10 +270,12 @@ const Rule kRules[] = {
     {"L", "U", "^%#", "UW1"},
     {"R", "U", "^%#", "UW1"},
     {"J", "U", "^%#", "UW1"},
+    {"T", "U", "^%#", "UW1"},
     {"", "U", "^%#", "Y UW1"},
     {"L", "U", "^$", "UW1"},
     {"R", "U", "^$", "UW1"},
     {"J", "U", "^$", "UW1"},
+    {"T", "U", "^$", "UW1"},
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
     {"", "U", "", "AH1"},
     // --- V ---
@@ -269,6 +283,7 @@ const Rule kRules[] = {
     // --- W ---
     {"#", "WR", "", "R"},
     {"", "WH", "", "W"},
+    {"#", "WON", "#", "W AH1 N"},
     {"", "W", "", "W"},
     // --- X ---
     {"", "X", "", "K S"},       // the binary reads initial x as K S too
