@@ -51,17 +51,27 @@ const Rule kRules[] = {
     {"", "AI", "", "EY1"},
     {"", "AY", "", "EY1"},
     {"", "AU", "", "AO1"},
+    {"#", "A", "LL", "AO1"},    // ally, allen (before the AL^ rule)
     {"#", "AL", "#", "AH0 L"},
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
+    {"#", "A", "RR", "AH0"},    // arrange, arrive
+    {"", "A", "RR", "AE1"},     // carrier, barro (RR then collapses)
     {"", "A", "NGE#", "EY1"},   // change, grange, lange
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
+    {"", "A", "RY#", "EY1"},    // gary, mary (magic y across r)
+    {"W", "A", "T", "AA1"},     // water, watch
+    {"W", "A", "S", "AA1"},     // was, wasted, wasley
     {"", "A", "S$", "EY1"},     // casa, masochist
+    {"", "A", "W$", "AH0"},     // away, award, hathaway (keeps the W)
     {"", "AW", "", "AO1"},
+    {"W", "AR", "", "AO1 R"},   // war, ward, warm
     {"", "AR", "#", "ER0"},
     {"", "AR", "", "AA1 R"},
     {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"", "A", "^I#", "EY1"},
+    {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
+    {"I", "A", "L#", "AH0"},    // dial, trial, material
     {"#:", "A", "#", "AH0"},
     {"&:", "A", "#", "AH0"},    // polysyllabic final a -> schwa (tufa)
     {"", "A", "", "AE1"},
@@ -109,7 +119,10 @@ const Rule kRules[] = {
     {"&:^", "E", "FUL#", ""},   // silent e before -ful (tuneful)
     {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
     {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
+    {"", "E", "RI$", "IY1"},    // bacteria, serious, experience
     {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
+    {"#", "EAR", "", "ER1"},    // earn, early, earth (word-initial)
+    {"", "EAR", "N", "ER1"},    // learn, mearns
     {"", "EAR", "", "IY1 R"},
     {"", "EE", "", "IY1"},
     {"", "EA", "", "IY1"},
@@ -127,6 +140,7 @@ const Rule kRules[] = {
     {"", "FF", "", "F F"},
     {"", "F", "", "F"},
     // --- G ---
+    {"", "GUE", "#", "G"},      // vague, league, analogue (silent ue)
     {"", "GG", "", "G"},
     {"", "GH", "", ""},
     {"", "G", "+", "JH"},
@@ -141,6 +155,8 @@ const Rule kRules[] = {
     {"", "IGH", "", "AY1"},
     {"", "IGN", "#", "AY1 N"},  // sign, assign
     {"", "IGN", "%", "AY1 N"},  // assigning, signed
+    {"", "IGN", "S#", "AY1 N"}, // resigns, signs
+    {"", "IEW", "", "Y UW1"},   // view, viewing
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
     {"&:^", "IES", "#", "IY0 Z"},  // ... -ies (ladies)
     {"&:^", "IE", "#", "IY0"},     // allie, charlie
@@ -152,7 +168,11 @@ const Rule kRules[] = {
     {"", "IRE", "D#", "AY1 R"},
     {"", "I", "R$", "AY1"},     // quiroz, i before r+vowel
     {"", "IR", "", "ER1"},
+    {"", "I", "ER#", "IY0"},    // carrier, vanier
+    {"", "I", "ERS#", "IY0"},   // gondoliers
+    {"ER", "I", "$", "IY0"},    // bacteria, serious, period, nigeria
     {"", "I", "^%#", "AY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
+    {"", "I", "^Y#", "AY1"},    // magic y (tiny, city)
     {"", "I", "ND", "AY1"},
     {"", "ING", "#", "IH0 NG"},
     {"", "I", "", "IH1"},
@@ -172,14 +192,14 @@ const Rule kRules[] = {
     {"", "L", "", "L"},
     // --- M ---
     {"", "MM", "", "M M"},
-    {"", "MB", "#", "M"},
-    {"", "M", "", "M"},
+    {"", "M", "", "M"},         // (the binary keeps the b in -mb: comb)
     // --- N ---
     {"", "NGE", "#", "N JH"},   // soft g on final -nge (change)
     {"A", "NG", "+", "N JH"},   // ranges, dangers, tangible
     {"", "NG", "$", "NG G"},    // dischinger, goetzinger
     {"", "NG", "", "NG"},
     {"", "NN", "", "N N"},
+    {"", "N", "K", "NG"},       // bank, think, monkey
     {"", "N", "", "N"},
     // --- O ---
     {"", "OTHER", "", "AH1 DH ER0"},  // other(s), mother, brother
@@ -191,6 +211,9 @@ const Rule kRules[] = {
     {"", "OE", "", "OW1"},      // doe, inscoe, goetz
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
+    {"", "OU", "NG", "AH1"},    // young
+    {"Y", "OU", "", "UW1"},     // youth, you
+    {"", "OU", "S#", "AH0"},    // curious, various (-ous)
     {"", "OU", "R", "AO1"},     // course, lathouris
     {"", "OU", "", "AW1"},
     {"", "OW", "$", "AW1"},     // power, howard
@@ -203,6 +226,7 @@ const Rule kRules[] = {
     {"", "O", "FF", "AO1"},     // off/office
     {"", "O", "X", "AA1"},      // oxalis, oxygen
     {"", "O", "NG", "AO1"},     // long, song, longhi
+    {"", "O", "NK", "AH1"},     // monk, monkey, donkey
     {"", "O", "H$", "OW1"},     // coherence, cohen
     {"$", "O", "N#", "AH1"},    // carreon (vowel hiatus + final n)
     {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
@@ -231,12 +255,18 @@ const Rule kRules[] = {
     {"", "SION", "", "ZH AH0 N"},
     {"#", "S", "", "S"},
     {"", "SURE", "#", "ZH ER0"},  // lesure, composure (non-initial)
+    // final s after the word's only (leading) vowel cluster voices when
+    // that cluster is headed by a: gas/has/pais/bias -> z, atlas/texas -> s
+    {"#:A", "S", "#", "Z"},
+    {"#:&A", "S", "#", "Z"},
+    {"#:AI", "S", "#", "Z"},
     // plural -s after a voiceless stop + silent e stays /s/ (drakes)
     {"KE", "S", "#", "S"},
     {"PE", "S", "#", "S"},
     {"TE", "S", "#", "S"},
     {"FE", "S", "#", "S"},
     {".", "S", "#", "Z"},
+    {"#^E", "S", "#", "S"},     // yes, les (pronounced e, not silent)
     {"E", "S", "#", "Z"},       // houses, riddles (post-silent-e s)
     {"A", "S", "$", "S"},       // casa, masochist (no voicing after a)
     {"", "S", "M", "Z"},        // -ism (geotropism)
@@ -258,6 +288,8 @@ const Rule kRules[] = {
     {"#", "UN", "E", "AH1 N"},   // uneconomic, unequal
     {"T", "URE", "#", "CH ER0"},  // nature, future
     {"", "URE", "#", "UH1 R"},    // cure, pure, inure
+    {"D", "U", "R$", "UH1"},      // during (no yod after d)
+    {"", "U", "R$", "Y UH1"},     // curious, furious (r+vowel)
     {"", "UR", "", "ER1"},
     {"L", "UE", "#", "UW1"},    // blue
     {"R", "UE", "#", "UW1"},    // true
@@ -271,11 +303,13 @@ const Rule kRules[] = {
     {"R", "U", "^%#", "UW1"},
     {"J", "U", "^%#", "UW1"},
     {"T", "U", "^%#", "UW1"},
+    {"N", "U", "^%#", "UW1"},
     {"", "U", "^%#", "Y UW1"},
     {"L", "U", "^$", "UW1"},
     {"R", "U", "^$", "UW1"},
     {"J", "U", "^$", "UW1"},
     {"T", "U", "^$", "UW1"},
+    {"N", "U", "^$", "UW1"},
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
     {"", "U", "", "AH1"},
     // --- V ---
