@@ -105,8 +105,8 @@ def test_native_g2p_agreement_floor():
     ours = {w: native_g2p(w.lower()) for w in words}
     vs_bin = float(np.mean([accuracy(ours[w], ref[w]) for w in words]))
     vs_cmu = float(np.mean([accuracy(ours[w], cmu[w]) for w in words]))
-    assert vs_bin >= 0.88, vs_bin
-    assert vs_cmu >= 0.72, vs_cmu
+    assert vs_bin >= 0.90, vs_bin
+    assert vs_cmu >= 0.73, vs_cmu
 
 
 def test_cmu_dict_loader():
