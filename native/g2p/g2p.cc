@@ -45,6 +45,7 @@ bool is_voiced(char c) {
 const Rule kRules[] = {
     // --- A ---
     {"", "ATION", "#", "EY1 SH AH0 N"},  // nation, alteration
+    {"&:^", "ABLE", "#", "AH0 B AH0 L"},  // reasonable, capable
     {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
     {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
     {"", "AIR", "", "EH1 R"},
@@ -55,12 +56,14 @@ const Rule kRules[] = {
     {"#", "AL", "#", "AH0 L"},
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
+    {"W", "A", "RR", "AO1"},    // warren, warrant
     {"#", "A", "RR", "AH0"},    // arrange, arrive
     {"", "A", "RR", "AE1"},     // carrier, barro (RR then collapses)
     {"", "A", "NGE#", "EY1"},   // change, grange, lange
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
     {"", "A", "RY#", "EY1"},    // gary, mary (magic y across r)
     {"W", "A", "T", "AA1"},     // water, watch
+    {"WH", "A", "T", "AA1"},    // what, whatever
     {"W", "A", "S", "AA1"},     // was, wasted, wasley
     {"", "A", "S$", "EY1"},     // casa, masochist
     {"", "A", "W$", "AH0"},     // away, award, hathaway (keeps the W)
@@ -68,9 +71,12 @@ const Rule kRules[] = {
     {"W", "AR", "", "AO1 R"},   // war, ward, warm
     {"", "AR", "#", "ER0"},
     {"", "AR", "", "AA1 R"},
+    {"", "A", "^LE#", "EY1"},   // table, cable, stable (magic over -le)
     {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"", "A", "^I#", "EY1"},
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
+    {"", "A", "^IES#", "EY1"},  // ladies, babies
+    {"", "A", "^ERY#", "EY1"},  // avery, bakery
     {"I", "A", "L#", "AH0"},    // dial, trial, material
     {"#:", "A", "#", "AH0"},
     {"&:", "A", "#", "AH0"},    // polysyllabic final a -> schwa (tufa)
@@ -81,14 +87,16 @@ const Rule kRules[] = {
     {"", "B", "", "B"},
     // --- C ---
     {"#", "CHR", "", "K R"},    // christ-, chrome
+    {"", "CIATE", "#", "SH EY1 T"},  // associate, dissociate
     {"", "CIA", "", "SH AH0"},  // indicia, valencia
     {"", "CIE", "", "S IY0"},   // muncie, acierno
     {"", "CI", "$", "SH"},      // -cio/-cious (gumucio, gracious)
+    {"TE", "CH", "", "K"},      // tech, biotechs
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
     {"", "CC", "", "K"},
-    {"#", "COME", "#", "K AH1 M"},
+    {"", "COME", "#", "K AH1 M"},  // come, become, income
     {"", "C", "", "K"},
     // --- D ---
     {"", "DD", "", "D D"},
@@ -119,12 +127,19 @@ const Rule kRules[] = {
     {"&:^", "E", "FUL#", ""},   // silent e before -ful (tuneful)
     {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
     {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
+    {"#B", "E", "^$", "IH0"},   // be- prefix (become, begin, belong)
     {"", "E", "RI$", "IY1"},    // bacteria, serious, experience
+    {"#WH", "E", "^", "EH1"},   // where, when, whether
+    {"", "ER", "ING#", "ER1"},  // wuthering, weathering
+    {"", "ER", "Y#", "ER1"},    // very, avery
+    {"", "EVER", "#", "EH1 V ER0"},  // ever, whatever, never
     {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
+    {"", "E", "R$", "EH1"},     // zero, hero, cleric, peril
     {"#", "EAR", "", "ER1"},    // earn, early, earth (word-initial)
     {"", "EAR", "N", "ER1"},    // learn, mearns
     {"", "EAR", "", "IY1 R"},
     {"", "EE", "", "IY1"},
+    {"", "EA", "SUR", "EH1"},   // measure, pleasure, treasure
     {"", "EA", "", "IY1"},
     {"", "EIGH", "", "EY1"},
     {"", "EI", "", "IY1"},
@@ -140,9 +155,10 @@ const Rule kRules[] = {
     {"", "FF", "", "F F"},
     {"", "F", "", "F"},
     // --- G ---
-    {"", "GUE", "#", "G"},      // vague, league, analogue (silent ue)
+    {"", "GU", "$", "G"},       // silent u: guess, guide, vague, argue
     {"", "GG", "", "G"},
     {"", "GH", "", ""},
+    {"BE", "G", "", "G"},       // begin, begets (hard g)
     {"", "G", "+", "JH"},
     {"", "G", "", "G"},
     // --- H ---
@@ -158,7 +174,7 @@ const Rule kRules[] = {
     {"", "IGN", "S#", "AY1 N"}, // resigns, signs
     {"", "IEW", "", "Y UW1"},   // view, viewing
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
-    {"&:^", "IES", "#", "IY0 Z"},  // ... -ies (ladies)
+    {"&:^", "IES", "#", "IY0 S"},  // ... -ies (the binary devoices: ladies)
     {"&:^", "IE", "#", "IY0"},     // allie, charlie
     {"", "IE", "#", "AY1"},
     {"", "IE", "D#", "AY1"},    // monosyllabic died/tried
@@ -203,6 +219,9 @@ const Rule kRules[] = {
     {"", "N", "", "N"},
     // --- O ---
     {"", "OTHER", "", "AH1 DH ER0"},  // other(s), mother, brother
+    {"#M", "OVE", "#", "UW1 V"},      // move
+    {"", "OVE", "#", "AH1 V"},        // love, dove, above
+    {"", "OUGH", "S#", "AH1 F"},  // troughs
     {"", "OUGH", "#", "OW1"},
     {"", "OO", "K", "UH1"},
     {"", "OO", "D", "UH1"},     // wood, good, hagewood
@@ -228,6 +247,8 @@ const Rule kRules[] = {
     {"", "O", "NG", "AO1"},     // long, song, longhi
     {"", "O", "NK", "AH1"},     // monk, monkey, donkey
     {"", "O", "H$", "OW1"},     // coherence, cohen
+    {"Y^", "O", "N#", "AH1"},   // tyson, bryson
+    {"Y^", "O", "NS#", "AH1"},  // nylons
     {"$", "O", "N#", "AH1"},    // carreon (vowel hiatus + final n)
     {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
     {"#S", "OME", "", "AH1 M"},  // some(thing), somebody
@@ -243,6 +264,7 @@ const Rule kRules[] = {
     {"", "QU", "", "K W"},
     {"", "Q", "", "K"},
     // --- R ---
+    {"WA", "RR", "", "R R"},    // warren, warrant (binary keeps both)
     {"", "RR", "", "R"},
     {"#", "RE", "^$", "R IY0"},  // re- prefix (repack, return)
     {"", "R", "", "R"},
@@ -251,6 +273,8 @@ const Rule kRules[] = {
     {"", "SH", "", "SH"},
     {"", "SCIA", "", "SH AH0"},   // coscia
     {"", "SSUE", "#", "SH UW1"},  // issue, tissue
+    {"", "SSUR", "$", "SH ER0"},  // fissures, pressure
+    {"", "SUR", "$", "ZH ER0"},   // measuring, pleasures
     {"", "SS", "", "S"},
     {"", "SION", "", "ZH AH0 N"},
     {"#", "S", "", "S"},
@@ -268,25 +292,28 @@ const Rule kRules[] = {
     {".", "S", "#", "Z"},
     {"#^E", "S", "#", "S"},     // yes, les (pronounced e, not silent)
     {"E", "S", "#", "Z"},       // houses, riddles (post-silent-e s)
-    {"A", "S", "$", "S"},       // casa, masochist (no voicing after a)
+    {"^A", "S", "$", "S"},      // casa, masochist (no voicing after a)
     {"", "S", "M", "Z"},        // -ism (geotropism)
     {"$", "S", "E#", "Z"},      // vowel + se# voices (hise, rose)
     {"$", "S", "$", "Z"},       // intervocalic s (rosener, myosin)
     {"", "S", "", "S"},
     // --- T ---
+    {"#", "THERE", "", "DH EH1 R"},  // there, therefore
     {"#", "THE", "#", "DH AH0"},
     {"", "TH", "ER", "DH"},     // weather, rather
     {"", "TH", "", "TH"},
     {"", "TT", "", "T T"},
     {"", "TION", "", "SH AH0 N"},
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
+    {"", "TURE", "#", "CH ER0"},  // nature, future
+    {"", "TURE", "D#", "CH ER0"}, // pictured
+    {"", "TURE", "S#", "CH ER0"}, // pictures, natures
     {"", "T", "", "T"},
     // --- U ---
     {"", "UY", "", "AY1"},       // guyer, uyehara
     {"#", "UR", "$", "Y UH1 R"}, // urinary, uranium
     {"#", "UN", "^", "AH1 N"},   // un- prefix (under, unfit)
     {"#", "UN", "E", "AH1 N"},   // uneconomic, unequal
-    {"T", "URE", "#", "CH ER0"},  // nature, future
     {"", "URE", "#", "UH1 R"},    // cure, pure, inure
     {"D", "U", "R$", "UH1"},      // during (no yod after d)
     {"", "U", "R$", "Y UH1"},     // curious, furious (r+vowel)
@@ -324,6 +351,9 @@ const Rule kRules[] = {
     // --- Y ---
     {"#", "Y", "", "Y"},
     {"", "Y", "#", "IY0"},
+    {"", "Y", "R", "IH1"},      // syria, syringe stay short
+    {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
+    {"", "Y", "^$", "AY1"},     // tyson, nylons, pyxis
     {"", "Y", "", "IH1"},
     // --- Z ---
     {"", "ZZ", "", "Z Z"},
