@@ -27,10 +27,13 @@ import os
 import re
 import shutil
 import subprocess
+import sys
 import tarfile
 import tempfile
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 REFERENCE = "/root/reference"
 AN4_TAR = f"{REFERENCE}/egs2/mini_an4/asr1/downloads.tar.gz"
