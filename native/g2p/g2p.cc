@@ -57,11 +57,14 @@ const Rule kRules[] = {
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
     {"W", "A", "RR", "AO1"},    // warren, warrant
+    {"QU", "A", "RR", "AO1"},   // quarry
     {"#", "A", "RR", "AH0"},    // arrange, arrive
     {"", "A", "RR", "AE1"},     // carrier, barro (RR then collapses)
     {"", "A", "NGE#", "EY1"},   // change, grange, lange
+    {"", "A", "NGES#", "EY1"},  // ranges, changes
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
     {"", "A", "RY#", "EY1"},    // gary, mary (magic y across r)
+    {"W", "A", "RE", "AO1"},    // ware, aware, warehouse
     {"W", "A", "T", "AA1"},     // water, watch
     {"WH", "A", "T", "AA1"},    // what, whatever
     {"W", "A", "S", "AA1"},     // was, wasted, wasley
@@ -78,6 +81,7 @@ const Rule kRules[] = {
     {"", "A", "^IES#", "EY1"},  // ladies, babies
     {"", "A", "^ERY#", "EY1"},  // avery, bakery
     {"I", "A", "L#", "AH0"},    // dial, trial, material
+    {"U", "A", "L", "AH0"},     // accruals, equal
     {"#:", "A", "#", "AH0"},
     {"&:", "A", "#", "AH0"},    // polysyllabic final a -> schwa (tufa)
     {"", "A", "", "AE1"},
@@ -95,7 +99,8 @@ const Rule kRules[] = {
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
-    {"", "CC", "", "K"},
+    {"", "CC", "+", "K S"},     // succeed, accent
+    {"", "CC", "", "K K"},      // accuse, accruals (binary doubles)
     {"", "COME", "#", "K AH1 M"},  // come, become, income
     {"", "C", "", "K"},
     // --- D ---
@@ -114,6 +119,8 @@ const Rule kRules[] = {
     // --- E ---
     {"#:", "E", "#", ""},
     {"^", "E", "#", ""},  // silent final e
+    {"GU", "E", "#", ""},  // silent final e after gu (vague, argue)
+    {"GU", "E", "S#", ""}, // leagues
     // -ed/-es keep a syllable after t/d and sibilants (wanted, houses)
     {"&:T", "E", "D#", "IH0"},
     {"&:D", "E", "D#", "IH0"},
@@ -128,6 +135,7 @@ const Rule kRules[] = {
     {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
     {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
     {"#B", "E", "^$", "IH0"},   // be- prefix (become, begin, belong)
+    {"#D", "E", "^$", "IH0"},   // de- prefix (demon, detail, design)
     {"", "E", "RI$", "IY1"},    // bacteria, serious, experience
     {"#WH", "E", "^", "EH1"},   // where, when, whether
     {"", "ER", "ING#", "ER1"},  // wuthering, weathering
@@ -157,6 +165,7 @@ const Rule kRules[] = {
     // --- G ---
     {"", "GU", "$", "G"},       // silent u: guess, guide, vague, argue
     {"", "GG", "", "G"},
+    {"#", "GH", "", "G HH"},    // ghost, ghetto (the binary sounds both)
     {"", "GH", "", ""},
     {"BE", "G", "", "G"},       // begin, begets (hard g)
     {"", "G", "+", "JH"},
@@ -212,6 +221,7 @@ const Rule kRules[] = {
     // --- N ---
     {"", "NGE", "#", "N JH"},   // soft g on final -nge (change)
     {"A", "NG", "+", "N JH"},   // ranges, dangers, tangible
+    {"E", "NG", "+", "N JH"},   // avenger, engel
     {"", "NG", "$", "NG G"},    // dischinger, goetzinger
     {"", "NG", "", "NG"},
     {"", "NN", "", "N N"},
@@ -244,6 +254,8 @@ const Rule kRules[] = {
     {"", "OL", "D", "OW1 L"},   // old/gold/beholden family
     {"", "O", "FF", "AO1"},     // off/office
     {"", "O", "X", "AA1"},      // oxalis, oxygen
+    {"", "O", "ST#", "OW1"},    // most, host, cost (binary: ow for all)
+    {"", "O", "STS#", "OW1"},   // hosts
     {"", "O", "NG", "AO1"},     // long, song, longhi
     {"", "O", "NK", "AH1"},     // monk, monkey, donkey
     {"", "O", "H$", "OW1"},     // coherence, cohen
@@ -254,6 +266,7 @@ const Rule kRules[] = {
     {"#S", "OME", "", "AH1 M"},  // some(thing), somebody
     {"#", "O", "^&", "OW1"},    // word-initial open syllable (open, omead)
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
+    {"T", "O", "#", "UW1"},     // tomato, photo, cato
     {"", "O", "#", "OW1"},
     {"", "O", "", "AA1"},
     // --- P ---
@@ -265,6 +278,7 @@ const Rule kRules[] = {
     {"", "Q", "", "K"},
     // --- R ---
     {"WA", "RR", "", "R R"},    // warren, warrant (binary keeps both)
+    {"UA", "RR", "", "R R"},    // quarrying
     {"", "RR", "", "R"},
     {"#", "RE", "^$", "R IY0"},  // re- prefix (repack, return)
     {"", "R", "", "R"},
@@ -289,6 +303,7 @@ const Rule kRules[] = {
     {"PE", "S", "#", "S"},
     {"TE", "S", "#", "S"},
     {"FE", "S", "#", "S"},
+    {"GUE", "S", "#", "S"},     // leagues (binary keeps voiceless s)
     {".", "S", "#", "Z"},
     {"#^E", "S", "#", "S"},     // yes, les (pronounced e, not silent)
     {"E", "S", "#", "Z"},       // houses, riddles (post-silent-e s)
@@ -312,6 +327,8 @@ const Rule kRules[] = {
     // --- U ---
     {"", "UY", "", "AY1"},       // guyer, uyehara
     {"#", "UR", "$", "Y UH1 R"}, // urinary, uranium
+    {"#", "UN", "A", "AH1 N"},   // unaware, unawares
+    {"#", "UN", "O", "AH1 N"},   // unoccupied
     {"#", "UN", "^", "AH1 N"},   // un- prefix (under, unfit)
     {"#", "UN", "E", "AH1 N"},   // uneconomic, unequal
     {"", "URE", "#", "UH1 R"},    // cure, pure, inure
@@ -332,6 +349,7 @@ const Rule kRules[] = {
     {"T", "U", "^%#", "UW1"},
     {"N", "U", "^%#", "UW1"},
     {"", "U", "^%#", "Y UW1"},
+    {"R", "U", "$", "UW1"},     // accruals, ruin
     {"L", "U", "^$", "UW1"},
     {"R", "U", "^$", "UW1"},
     {"J", "U", "^$", "UW1"},
@@ -351,6 +369,7 @@ const Rule kRules[] = {
     // --- Y ---
     {"#", "Y", "", "Y"},
     {"", "Y", "#", "IY0"},
+    {"", "Y", "ING#", "IY0"},   // quarrying, studying
     {"", "Y", "R", "IH1"},      // syria, syringe stay short
     {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
     {"", "Y", "^$", "AY1"},     // tyson, nylons, pyxis
