@@ -46,12 +46,14 @@ const Rule kRules[] = {
     // --- A ---
     {"", "ATION", "#", "EY1 SH AH0 N"},  // nation, alteration
     {"&:^", "ABLE", "#", "AH0 B AH0 L"},  // reasonable, capable
+    {"&:^", "ABLE", "S#", "AH0 B AH0 L"},  // miserables
     {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
     {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
     {"", "AIR", "", "EH1 R"},
     {"", "AI", "", "EY1"},
     {"", "AY", "", "EY1"},
     {"", "AU", "", "AO1"},
+    {"#", "A", "L$", "AH0"},    // along, alive, alas
     {"#", "A", "LL", "AO1"},    // ally, allen (before the AL^ rule)
     {"#", "AL", "#", "AH0 L"},
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
@@ -142,7 +144,8 @@ const Rule kRules[] = {
     {"", "ER", "Y#", "ER1"},    // very, avery
     {"", "EVER", "#", "EH1 V ER0"},  // ever, whatever, never
     {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
-    {"", "E", "R$", "EH1"},     // zero, hero, cleric, peril
+    {"#:", "E", "R$", "EH1"},   // zero, hero, cleric (first vowel only;
+                                // asteroid/miserables reduce to er)
     {"#", "EAR", "", "ER1"},    // earn, early, earth (word-initial)
     {"", "EAR", "N", "ER1"},    // learn, mearns
     {"", "EAR", "", "IY1 R"},
@@ -168,11 +171,15 @@ const Rule kRules[] = {
     {"#", "GH", "", "G HH"},    // ghost, ghetto (the binary sounds both)
     {"", "GH", "", ""},
     {"BE", "G", "", "G"},       // begin, begets (hard g)
+    {"#", "G", "IA", "JH"},     // giant
+    {"#", "G", "I", "G"},       // gift, girl, give, ginger
     {"", "G", "+", "JH"},
     {"", "G", "", "G"},
     // --- H ---
+    {"#", "HW", "", "W"},  // hwa
     {"#", "H", "$", "HH"},
     {"$", "H", "#", ""},   // silent final h (oh, ah)
+    {"^", "H", "#", ""},   // silent final h after a consonant (ranh)
     {"$", "H", "^", ""},   // vowel-h-consonant (john)
     {"", "H", "$", "HH"},  // intervocalic h sounds (behold, ahead)
     {"", "H", "", "HH"},
@@ -181,6 +188,7 @@ const Rule kRules[] = {
     {"", "IGN", "#", "AY1 N"},  // sign, assign
     {"", "IGN", "%", "AY1 N"},  // assigning, signed
     {"", "IGN", "S#", "AY1 N"}, // resigns, signs
+    {"", "IGN", "M", "AY1 N"},  // alignment(s)
     {"", "IEW", "", "Y UW1"},   // view, viewing
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
     {"&:^", "IES", "#", "IY0 S"},  // ... -ies (the binary devoices: ladies)
@@ -188,6 +196,10 @@ const Rule kRules[] = {
     {"", "IE", "#", "AY1"},
     {"", "IE", "D#", "AY1"},    // monosyllabic died/tried
     {"", "IE", "S#", "AY1"},
+    {"&:^", "IVE", "", "IH0 V"},   // alive, derives, active
+    {"#G", "IVE", "#", "IH1 V"},   // give
+    {"#G", "IVE", "S#", "IH1 V"},  // gives
+    {"&:^", "INE", "", "IH0 N"},   // define, machine, engine
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
@@ -229,6 +241,10 @@ const Rule kRules[] = {
     {"", "N", "", "N"},
     // --- O ---
     {"", "OTHER", "", "AH1 DH ER0"},  // other(s), mother, brother
+    {"H", "OUS", "", "AW1 Z"},   // house(s) keep the full vowel
+    {"TH", "OUS", "", "AW1 Z"},  // thousand
+    {"", "OUS", "$", "AH0 S"},   // mouse, trouser, spouses, limousine
+    {"", "OUS", "L", "AH0 S"},   // famously, generously
     {"#M", "OVE", "#", "UW1 V"},      // move
     {"", "OVE", "#", "AH1 V"},        // love, dove, above
     {"", "OUGH", "S#", "AH1 F"},  // troughs
@@ -245,6 +261,8 @@ const Rule kRules[] = {
     {"", "OU", "S#", "AH0"},    // curious, various (-ous)
     {"", "OU", "R", "AO1"},     // course, lathouris
     {"", "OU", "", "AW1"},
+    {"H", "OWE", "#", "AW1"},   // howe
+    {"", "OWE", "#", "OW1"},    // lowe, crowe, rowe
     {"", "OW", "$", "AW1"},     // power, howard
     {"", "OW", "", "OW1"},      // the binary's ow default (browner, rowly)
     {"W", "OR", "^", "ER1"},    // work, word, worms
@@ -265,6 +283,7 @@ const Rule kRules[] = {
     {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
     {"#S", "OME", "", "AH1 M"},  // some(thing), somebody
     {"#", "O", "^&", "OW1"},    // word-initial open syllable (open, omead)
+    {"", "O", "^EY#", "OW1"},   // lokey, dopey
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"T", "O", "#", "UW1"},     // tomato, photo, cato
     {"", "O", "#", "OW1"},
@@ -286,6 +305,7 @@ const Rule kRules[] = {
     {"", "SCH", "", "S K"},     // the binary's sch (schwinn -> S K W)
     {"", "SH", "", "SH"},
     {"", "SCIA", "", "SH AH0"},   // coscia
+    {"", "SSION", "", "SH AH0 N"},  // emission, passion
     {"", "SSUE", "#", "SH UW1"},  // issue, tissue
     {"", "SSUR", "$", "SH ER0"},  // fissures, pressure
     {"", "SUR", "$", "ZH ER0"},   // measuring, pleasures
@@ -298,6 +318,8 @@ const Rule kRules[] = {
     {"#:A", "S", "#", "Z"},
     {"#:&A", "S", "#", "Z"},
     {"#:AI", "S", "#", "Z"},
+    {"#:O", "S", "#", "Z"},
+    {"#:&O", "S", "#", "Z"},
     // plural -s after a voiceless stop + silent e stays /s/ (drakes)
     {"KE", "S", "#", "S"},
     {"PE", "S", "#", "S"},
@@ -320,6 +342,7 @@ const Rule kRules[] = {
     {"", "TT", "", "T T"},
     {"", "TION", "", "SH AH0 N"},
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
+    {"", "TU", "$", "CH UW0"},    // actual, situate, mutual
     {"", "TURE", "#", "CH ER0"},  // nature, future
     {"", "TURE", "D#", "CH ER0"}, // pictured
     {"", "TURE", "S#", "CH ER0"}, // pictures, natures
