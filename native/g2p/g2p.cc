@@ -80,9 +80,11 @@ const Rule kRules[] = {
     {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"", "A", "^I#", "EY1"},
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
+    {"", "A", "^EY#", "EY1"},   // paley, maley
     {"", "A", "^IES#", "EY1"},  // ladies, babies
     {"", "A", "^ERY#", "EY1"},  // avery, bakery
     {"I", "A", "L#", "AH0"},    // dial, trial, material
+    {"#QU", "A", "L", "AE1"},   // quality, qualify (equal reduces)
     {"U", "A", "L", "AH0"},     // accruals, equal
     {"#:", "A", "#", "AH0"},
     {"&:", "A", "#", "AH0"},    // polysyllabic final a -> schwa (tufa)
@@ -141,6 +143,7 @@ const Rule kRules[] = {
     {"", "E", "RI$", "IY1"},    // bacteria, serious, experience
     {"#WH", "E", "^", "EH1"},   // where, when, whether
     {"", "ER", "ING#", "ER1"},  // wuthering, weathering
+    {"TH", "ER", "ED#", "ER0"}, // furthered
     {"", "ER", "Y#", "ER1"},    // very, avery
     {"", "EVER", "#", "EH1 V ER0"},  // ever, whatever, never
     {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
@@ -185,11 +188,13 @@ const Rule kRules[] = {
     {"", "H", "", "HH"},
     // --- I ---
     {"", "IGH", "", "AY1"},
+    {"", "I", "QUE#", "IY1"},   // antique, unique
     {"", "IGN", "#", "AY1 N"},  // sign, assign
     {"", "IGN", "%", "AY1 N"},  // assigning, signed
     {"", "IGN", "S#", "AY1 N"}, // resigns, signs
     {"", "IGN", "M", "AY1 N"},  // alignment(s)
     {"", "IEW", "", "Y UW1"},   // view, viewing
+    {"F", "IED", "#", "AY1 D"},    // typified, certified
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
     {"&:^", "IES", "#", "IY0 S"},  // ... -ies (the binary devoices: ladies)
     {"&:^", "IE", "#", "IY0"},     // allie, charlie
@@ -203,13 +208,14 @@ const Rule kRules[] = {
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
+    {"#", "I", "^$", "AY1"},    // item, isis
     {"", "I", "R$", "AY1"},     // quiroz, i before r+vowel
     {"", "IR", "", "ER1"},
     {"", "I", "ER#", "IY0"},    // carrier, vanier
     {"", "I", "ERS#", "IY0"},   // gondoliers
     {"ER", "I", "$", "IY0"},    // bacteria, serious, period, nigeria
     {"", "I", "^%#", "AY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
-    {"", "I", "^Y#", "AY1"},    // magic y (tiny, city)
+    {"#:", "I", "^Y#", "AY1"},  // magic y on the first vowel (tiny, city)
     {"", "I", "ND", "AY1"},
     {"", "ING", "#", "IH0 NG"},
     {"", "I", "", "IH1"},
@@ -256,14 +262,16 @@ const Rule kRules[] = {
     {"", "OE", "", "OW1"},      // doe, inscoe, goetz
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
-    {"", "OU", "NG", "AH1"},    // young
+    {"Y", "OU", "NG", "AH1"},   // young
     {"Y", "OU", "", "UW1"},     // youth, you
     {"", "OU", "S#", "AH0"},    // curious, various (-ous)
     {"", "OU", "R", "AO1"},     // course, lathouris
     {"", "OU", "", "AW1"},
     {"H", "OWE", "#", "AW1"},   // howe
     {"", "OWE", "#", "OW1"},    // lowe, crowe, rowe
-    {"", "OW", "$", "AW1"},     // power, howard
+    {"#P", "OW", "$", "AW1"},   // power(ed)
+    {"#H", "OW", "$", "AW1"},   // howard, howell
+    {"", "OW", "$", "OW1"},     // tower, shower, flower
     {"", "OW", "", "OW1"},      // the binary's ow default (browner, rowly)
     {"W", "OR", "^", "ER1"},    // work, word, worms
     {"", "OR", "#", "ER0"},     // unstressed final -or (doctor, hornor)
@@ -293,6 +301,8 @@ const Rule kRules[] = {
     {"", "PP", "", "P P"},
     {"", "P", "", "P"},
     // --- Q ---
+    {"$", "QUE", "#", "K"},     // antique, unique
+    {"", "QUE", "#", "K W"},    // mosque
     {"", "QU", "", "K W"},
     {"", "Q", "", "K"},
     // --- R ---
@@ -305,6 +315,7 @@ const Rule kRules[] = {
     {"", "SCH", "", "S K"},     // the binary's sch (schwinn -> S K W)
     {"", "SH", "", "SH"},
     {"", "SCIA", "", "SH AH0"},   // coscia
+    {"#", "SCI", "$", "S AY1"},   // science, scientist
     {"", "SSION", "", "SH AH0 N"},  // emission, passion
     {"", "SSUE", "#", "SH UW1"},  // issue, tissue
     {"", "SSUR", "$", "SH ER0"},  // fissures, pressure
@@ -318,6 +329,7 @@ const Rule kRules[] = {
     {"#:A", "S", "#", "Z"},
     {"#:&A", "S", "#", "Z"},
     {"#:AI", "S", "#", "Z"},
+    {"#:I", "S", "#", "Z"},     // is, his, vis
     {"#:O", "S", "#", "Z"},
     {"#:&O", "S", "#", "Z"},
     // plural -s after a voiceless stop + silent e stays /s/ (drakes)
@@ -336,6 +348,7 @@ const Rule kRules[] = {
     {"", "S", "", "S"},
     // --- T ---
     {"#", "THERE", "", "DH EH1 R"},  // there, therefore
+    {"#", "THIS", "#", "DH IH1 S"},
     {"#", "THE", "#", "DH AH0"},
     {"", "TH", "ER", "DH"},     // weather, rather
     {"", "TH", "", "TH"},
@@ -384,6 +397,8 @@ const Rule kRules[] = {
     {"", "V", "", "V"},
     // --- W ---
     {"#", "WR", "", "R"},
+    {"#", "WHOLE", "", "HH OW1 L"},  // whole(ness)
+    {"#", "WHO", "", "HH UW1"},      // who, whose, whoa
     {"", "WH", "", "W"},
     {"#", "WON", "#", "W AH1 N"},
     {"", "W", "", "W"},
