@@ -31,12 +31,51 @@ from a3t_tpu.data.fileio import (
 )
 from a3t_tpu.text import TokenIDConverter
 
+class _H5Reader:
+    """uid-keyed HDF5 file (reference DATA_TYPES 'hdf5', dataset.py:137)."""
+
+    def __init__(self, path: str):
+        import h5py
+
+        self.f = h5py.File(path, "r")
+
+    def keys(self):
+        return self.f.keys()
+
+    def __getitem__(self, uid: str) -> np.ndarray:
+        return np.asarray(self.f[uid])
+
+
+class _RandFloatReader:
+    """uid -> deterministic random float vector; the scp file maps
+    uid -> length (reference DATA_TYPES 'rand_float': dummy inputs)."""
+
+    def __init__(self, path: str):
+        self.shapes = load_num_sequence_text(path, np.int64)
+
+    def keys(self):
+        return self.shapes.keys()
+
+    def __getitem__(self, uid: str) -> np.ndarray:
+        rng = np.random.default_rng(abs(hash(uid)) % (2 ** 32))
+        return rng.standard_normal(tuple(self.shapes[uid])).astype(np.float32)
+
+
+def _kaldi_ark_loader(path):
+    from a3t_tpu.data.kaldi_ark import KaldiArkReader
+
+    return KaldiArkReader(path)
+
+
 LOADERS = {
     "sound": SoundScpReader,
     "npy": NpyScpReader,
     "text": read_2column_text,
     "text_int": lambda p: load_num_sequence_text(p, np.int64),
     "text_float": lambda p: load_num_sequence_text(p, np.float32),
+    "kaldi_ark": _kaldi_ark_loader,
+    "hdf5": _H5Reader,
+    "rand_float": _RandFloatReader,
 }
 
 
@@ -139,10 +178,16 @@ class A3TDataset:
         return out
 
     def num_samples(self, uid: str) -> int:
-        """Sample count without decoding (reads the wav header only)."""
+        """Sample count without decoding (header probe; WAV or FLAC)."""
         import wave
 
         path = self.wav.data[uid]
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic == b"fLaC":
+            from a3t_tpu.data.flac import probe_flac
+
+            return probe_flac(path)[0]
         with wave.open(path, "rb") as w:
             return w.getnframes()
 

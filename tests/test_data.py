@@ -325,3 +325,54 @@ def test_native_loader_i16_matches_float(corpus, converter):
     np.testing.assert_array_equal(l1, l2)
     ref = np.clip(np.rint(f32 * 32768.0), -32768, 32767).astype(np.int16)
     np.testing.assert_array_equal(i16, ref)
+
+
+def test_num_samples_probes_flac(tmp_path, rng):
+    """batch planning must header-probe FLAC-stored corpora too
+    (flac is the reference recipe's default storage, mlm.sh:294)."""
+    from a3t_tpu.data.fileio import write_2column_text
+    from a3t_tpu.data.flac import write_flac
+
+    d = tmp_path / "flac_corpus"
+    os.makedirs(d / "wav")
+    wav = (rng.uniform(-0.5, 0.5, 1234) * 32767).astype(np.int16)
+    write_flac(str(d / "wav" / "u0.flac"), 8000, wav)
+    write_2column_text(str(d / "wav.scp"), {"u0": str(d / "wav" / "u0.flac")})
+    ds = A3TDataset(str(d), speech_only=True)
+    assert ds.num_samples("u0") == 1234
+    assert len(ds["u0"]["audio"]) == 1234
+
+
+def test_named_source_loader_types(tmp_path, rng):
+    """kaldi_ark / hdf5 / rand_float loaders (reference DATA_TYPES,
+    espnet2/train/dataset.py:137)."""
+    from a3t_tpu.data.dataset import NamedSourceDataset
+    from a3t_tpu.data.fileio import write_2column_text
+    from a3t_tpu.data.kaldi_ark import write_kaldi_ark
+
+    d = tmp_path
+    mats = {"u0": rng.standard_normal((3, 4)).astype(np.float32),
+            "u1": rng.standard_normal((2, 4)).astype(np.float32)}
+    scp = write_kaldi_ark(str(d / "feat.ark"), mats)
+    write_2column_text(str(d / "feat.scp"), scp)
+
+    import h5py
+
+    with h5py.File(d / "x.h5", "w") as f:
+        f["u0"] = np.arange(6, dtype=np.float32)
+        f["u1"] = np.arange(3, dtype=np.float32)
+
+    write_2column_text(str(d / "rand.scp"), {"u0": "5", "u1": "7"})
+
+    ds = NamedSourceDataset({
+        "feats": (str(d / "feat.scp"), "kaldi_ark"),
+        "emb": (str(d / "x.h5"), "hdf5"),
+        "noise": (str(d / "rand.scp"), "rand_float"),
+    })
+    assert ds.uids == ["u0", "u1"]
+    item = ds["u0"]
+    np.testing.assert_allclose(item["feats"], mats["u0"], atol=1e-6)
+    assert item["emb"].shape == (6,)
+    assert item["noise"].shape == (5,)
+    # rand_float is deterministic per uid
+    np.testing.assert_array_equal(item["noise"], ds["u0"]["noise"])
