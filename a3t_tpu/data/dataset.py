@@ -45,6 +45,15 @@ class _H5Reader:
     def __getitem__(self, uid: str) -> np.ndarray:
         return np.asarray(self.f[uid])
 
+    def close(self):
+        self.f.close()
+
+    def __del__(self):
+        try:
+            self.f.close()
+        except Exception:
+            pass
+
 
 class _RandFloatReader:
     """uid -> deterministic random float vector; the scp file maps
@@ -57,7 +66,10 @@ class _RandFloatReader:
         return self.shapes.keys()
 
     def __getitem__(self, uid: str) -> np.ndarray:
-        rng = np.random.default_rng(abs(hash(uid)) % (2 ** 32))
+        import zlib
+
+        # stable across processes (builtin str hash is salted per interpreter)
+        rng = np.random.default_rng(zlib.crc32(uid.encode()))
         return rng.standard_normal(tuple(self.shapes[uid])).astype(np.float32)
 
 
@@ -101,6 +113,11 @@ class NamedSourceDataset:
             else:
                 out[name] = v
         return out
+
+    def close(self):
+        for reader in self.readers.values():
+            if hasattr(reader, "close"):
+                reader.close()
 
 
 class A3TDataset:

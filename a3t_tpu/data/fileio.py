@@ -78,9 +78,15 @@ def read_wav(path: str, always_float: bool = True) -> tuple[int, np.ndarray]:
     (format_wav_scp.sh ``audio_format=flac``).
     """
     with open(path, "rb") as f:
-        magic = f.read(4)
+        head = f.read(21)
+    magic = head[:4]
     if magic == b"fLaC":
-        if always_float:
+        # STREAMINFO channel count (bits 4-2 of byte 20): the native decoder
+        # emits channel 0 only, so route multi-channel files to the Python
+        # twin, which returns the full (n, ch) array for to_mono to downmix
+        streaminfo_first = len(head) >= 21 and (head[4] & 0x7F) == 0
+        n_ch = ((head[20] >> 1) & 0x07) + 1 if streaminfo_first else 0
+        if always_float and n_ch == 1:
             try:  # C++ decoder (native/loader/flac.cc): fast path
                 from a3t_tpu.data.native_loader import read_file
 

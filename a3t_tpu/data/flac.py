@@ -557,11 +557,17 @@ def read_flac(path_or_bytes, verify: bool = True):
     fs = n_ch = bps = total = None
     md5 = b"\0" * 16
     while True:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated metadata block header")
         hdr = buf[pos]
         blen = int.from_bytes(buf[pos + 1:pos + 4], "big")
         btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        if pos + 4 + blen > len(buf):
+            raise ValueError("metadata block length exceeds stream size")
         payload = buf[pos + 4:pos + 4 + blen]
         if btype == 0:  # STREAMINFO
+            if blen < 34:
+                raise ValueError("STREAMINFO block too short")
             r = _BitReader(payload)
             r.read(16), r.read(16), r.read(24), r.read(24)
             fs = r.read(20)

@@ -142,3 +142,45 @@ class LogSpectrogramFrontend(LinearSpectrogramFrontend):
         feats, flens = super()._finish(jnp.log(jnp.maximum(amp, 1e-10)),
                                        sample_lengths)
         return feats, flens
+
+
+def extract_corpus_mels(frontend, wavs, chunk: int = 32):
+    """Batched whole-corpus mel extraction for offline trainers.
+
+    Truncates each waveform to a whole number of hops, pads every
+    utterance to one shared bucket (rounded up to a multiple of
+    ``64 * hop`` so the jitted front-end compiles once), and runs the
+    corpus through it ``chunk`` utterances per device call — per-utt
+    dispatch through a remote-compile tunnel costs more than the compute.
+
+    Returns ``(truncated_wavs, mels)`` with ``mels[i]`` of shape
+    ``(len(wav_i) // hop, n_mels)``.
+    """
+    import jax
+
+    hop = frontend.config.hop_length
+    fe = jax.jit(lambda a: frontend(a)[0])
+    trunc = []
+    bucket = 0
+    for wav in wavs:
+        n = (len(wav) // hop) * hop
+        bucket = max(bucket, n)
+        trunc.append(np.asarray(wav[:n], np.float32))
+    bucket = int(np.ceil(bucket / (64 * hop))) * 64 * hop
+    mels: list = []
+    for c0 in range(0, len(trunc), chunk):
+        group = trunc[c0 : c0 + chunk]
+        padded = np.zeros((chunk, bucket), np.float32)
+        for j, wav in enumerate(group):
+            padded[j, : len(wav)] = wav
+        mel = np.asarray(fe(jnp.asarray(padded)))
+        for j, wav in enumerate(group):
+            mels.append(mel[j, : len(wav) // hop])
+    return trunc, mels
+
+
+def corpus_mvn(mels):
+    """Per-dim mean/std over a list of (T_i, n_mels) arrays (std floored
+    at 1e-5, matching GlobalMVN's guard)."""
+    allm = np.concatenate(mels, axis=0)
+    return allm.mean(axis=0), np.maximum(allm.std(axis=0), 1e-5)

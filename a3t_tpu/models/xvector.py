@@ -123,38 +123,20 @@ def train_xvector(
 
     os.makedirs(out_dir, exist_ok=True)
     fe = frontend
-    hop = fe.config.hop_length
+
+    from a3t_tpu.dsp.frontend import corpus_mvn, extract_corpus_mels
 
     def load_corpus(d):
         reader = SoundScpReader(os.path.join(d, "wav.scp"))
         utt2spk = read_2column_text(os.path.join(d, "utt2spk"))
-        feats_fn = jax.jit(lambda a: fe(a)[0])
-        items, bucket = [], 0
-        for uid in utt2spk:
-            if uid not in reader:
-                continue
-            fs, wav = reader[uid]
-            n = (len(wav) // hop) * hop
-            bucket = max(bucket, n)
-            items.append((utt2spk[uid], wav[:n].astype(np.float32)))
-        bucket = int(np.ceil(bucket / (64 * hop))) * 64 * hop
-        out, chunk = [], 32
-        for c0 in range(0, len(items), chunk):
-            group = items[c0 : c0 + chunk]
-            padded = np.zeros((chunk, bucket), np.float32)
-            for j, (_, wav) in enumerate(group):
-                padded[j, : len(wav)] = wav
-            mel = np.asarray(feats_fn(jnp.asarray(padded)))
-            for j, (spk, wav) in enumerate(group):
-                out.append((spk, mel[j, : len(wav) // hop]))
-        return out
+        uids = [u for u in utt2spk if u in reader]
+        _, mels = extract_corpus_mels(fe, [reader[u][1] for u in uids])
+        return [(utt2spk[u], m) for u, m in zip(uids, mels)]
 
     train_items = load_corpus(data_dir)
     # corpus MVN on the input log-mels: without it the ~-6-mean features
     # drive the xavier-init conv stack into dead relus and nothing trains
-    allm = np.concatenate([m for _, m in train_items], axis=0)
-    mel_mean = allm.mean(axis=0)
-    mel_std = np.maximum(allm.std(axis=0), 1e-5)
+    mel_mean, mel_std = corpus_mvn([m for _, m in train_items])
     train_items = [(s, (m - mel_mean) / mel_std) for s, m in train_items]
     speakers = sorted({s for s, _ in train_items})
     spk_id = {s: i for i, s in enumerate(speakers)}

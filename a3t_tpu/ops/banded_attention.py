@@ -32,9 +32,10 @@ from a3t_tpu.ops.fused_attention import _dropout_mask
 
 _NEG = np.float32(-1e30)
 
-# interpret-mode counter offset separating the text-mask draw from the
-# band-mask draw under one (seed, lane); on hardware the PRNG stream
-# simply advances between the two prng_random_bits calls
+# draw offset separating the text-mask draw from the band-mask draw under
+# one (seed, lane); folded into the counter in interpret mode and into the
+# hardware seed on TPU (prng_seed restarts the stream per call, so the two
+# draws would otherwise return identical bits — see _random_bits)
 _TEXT_DRAW = 1 << 20
 
 

@@ -55,10 +55,15 @@ def _random_bits(shape, seed, lane, interpret: bool, offset: int = 0):
     Forward and backward call this with identical keys, so the dropout
     mask regenerates exactly.  ``lane`` folds the grid coordinates into one
     integer (Mosaic takes at most two seed values); ``offset`` distinguishes
-    several draws under the same lane in interpret mode (the hardware PRNG
-    stream advances between draws by itself)."""
+    several draws under the same lane.  On hardware each call re-seeds the
+    PRNG (prng_seed restarts the stream — two calls with the same key would
+    return the same bits), so the offset must be folded into the seed."""
     if not interpret:
-        pltpu.prng_seed(seed, lane)
+        hw_seed = seed
+        if offset:
+            hw_seed = seed.astype(jnp.uint32) ^ np.uint32(
+                (offset * 2654435761) & 0xFFFFFFFF)
+        pltpu.prng_seed(hw_seed, lane)
         bits = pltpu.prng_random_bits(shape)
         return bits.astype(jnp.uint32) if bits.dtype != jnp.uint32 else bits
     # xxhash-style integer mix over a flat counter

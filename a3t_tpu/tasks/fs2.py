@@ -89,14 +89,22 @@ class FS2Batcher:
         audio = np.zeros((b, (cfg.max_feat_len - 1) * hop), np.float32)
         audio_lengths = np.zeros(b, np.int32)
         spembs = None
+        mean_xv = None
         if self.spk2xvector is not None:
             edim = len(next(iter(self.spk2xvector.values())))
             spembs = np.zeros((b, edim), np.float32)
+            # held-out speakers (e.g. a valid set scored with the train-set
+            # dict) fall back to the corpus-mean embedding instead of a
+            # KeyError mid-epoch
+            mean_xv = np.mean(
+                np.stack(list(self.spk2xvector.values())), axis=0)
 
         for i, uid in enumerate(uids):
             item = self.dataset[uid]
             if spembs is not None:
-                spembs[i] = self.spk2xvector[item.get("speaker", uid)]
+                key = item.get("speaker", uid)
+                xv = self.spk2xvector.get(key)
+                spembs[i] = xv if xv is not None else mean_xv
             wav = item["audio"][: audio.shape[1]]
             ids = item["text_ids"]
             starts = np.floor(c.fs * item["align_start_sec"] / hop).astype(int)

@@ -112,42 +112,23 @@ class VocoderData:
                  max_utts: Optional[int] = None):
         from a3t_tpu.data.fileio import SoundScpReader
 
+        from a3t_tpu.dsp.frontend import corpus_mvn, extract_corpus_mels
+
         reader = SoundScpReader(wav_scp)
         frontend = LogMelFrontend(fe_cfg)
-        fe = jax.jit(lambda a: frontend(a)[0])
         self.hop = fe_cfg.hop_length
-        self.utts: list[tuple[np.ndarray, np.ndarray]] = []
         uids = list(reader.keys())
         if max_utts:
             uids = uids[:max_utts]
-        # pad each utt to a whole number of hops; batch per-utt (variable
-        # length) through a bucket-padded jitted front-end
-        bucket = 0
+        wavs = []
         for uid in uids:
             fs, wav = reader[uid]
             if fs != fe_cfg.fs:
                 raise ValueError(f"{uid}: fs {fs} != frontend fs {fe_cfg.fs}")
-            n = (len(wav) // self.hop) * self.hop
-            wav = np.asarray(wav[:n], np.float32)
-            bucket = max(bucket, n)
-            self.utts.append((wav, None))
-        # round the shared pad length up so all utts share one compile, and
-        # batch the device calls — per-utt dispatch through a remote tunnel
-        # costs more than the compute
-        bucket = int(np.ceil(bucket / (64 * self.hop))) * 64 * self.hop
-        chunk = 32
-        for c0 in range(0, len(self.utts), chunk):
-            group = self.utts[c0 : c0 + chunk]
-            padded = np.zeros((chunk, bucket), np.float32)
-            for j, (wav, _) in enumerate(group):
-                padded[j, : len(wav)] = wav
-            mel = np.asarray(fe(padded))  # (chunk, 1+bucket//hop, n_mels)
-            for j, (wav, _) in enumerate(group):
-                n_frames = len(wav) // self.hop  # drop trailing center frame
-                self.utts[c0 + j] = (wav, mel[j, :n_frames])
-        mels = np.concatenate([m for _, m in self.utts], axis=0)
-        self.mel_mean = mels.mean(axis=0)
-        self.mel_std = np.maximum(mels.std(axis=0), 1e-5)
+            wavs.append(wav)
+        trunc, mels = extract_corpus_mels(frontend, wavs)
+        self.utts = list(zip(trunc, mels))
+        self.mel_mean, self.mel_std = corpus_mvn(mels)
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int,
                      crop_frames: int):
@@ -223,6 +204,8 @@ def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
 
     ckpt = ocp.StandardCheckpointer()
     state_path = os.path.join(out_dir, "state")
+    meta_path = os.path.join(out_dir, "vocoder.json")
+    resumed = False
     if os.path.exists(state_path):
         tree = ckpt.restore(
             state_path, _ckpt_tree(step, params_g, params_d, opt_g, opt_d))
@@ -230,15 +213,25 @@ def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
                                     tree["params_d"])
         opt_g, opt_d = tree["opt_g"], tree["opt_d"]
         step = int(step)
+        resumed = True
         log_fn(f"vocoder: resumed at step {step}")
 
+    if resumed and os.path.exists(meta_path):
+        # keep the MVN the restored params were trained under — recomputing
+        # from the (possibly different) current corpus slice would silently
+        # change the generator's input normalization mid-run
+        with open(meta_path) as f:
+            old_meta = json.load(f)
+        data.mel_mean = np.asarray(old_meta["mel_mean"], np.float32)
+        data.mel_std = np.asarray(old_meta["mel_std"], np.float32)
+        log_fn("vocoder: reusing stored mel MVN from vocoder.json")
     meta = {
         "frontend": dataclasses.asdict(fe_cfg),
         "pwg": dataclasses.asdict(gcfg),
         "mel_mean": data.mel_mean.tolist(),
         "mel_std": data.mel_std.tolist(),
     }
-    with open(os.path.join(out_dir, "vocoder.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump(meta, f)
 
     @jax.jit
@@ -289,6 +282,11 @@ def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
 
     t0 = time.time()
     history = []
+    hist_path = os.path.join(out_dir, "history.json")
+    if resumed and os.path.exists(hist_path):
+        with open(hist_path) as f:
+            history = json.load(f)
+        history = [h for h in history if h.get("step", 0) <= step]
     while step < cfg.total_steps:
         mel, wav = data.sample_batch(rng, cfg.batch_size, cfg.crop_frames)
         kz = jax.random.fold_in(key, step)
