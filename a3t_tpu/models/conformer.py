@@ -53,6 +53,9 @@ class EncoderConfig:
     # "linear" | "conv1d" | "conv1d_shifted" (conv as k shifted matmuls,
     # identical params/numerics — a lowering choice, see _ShiftedConv1d)
     positionwise_layer_type: str = "conv1d"
+    # lower the conv module's depthwise conv as k shifted multiply-adds
+    # (identical params/numerics, see _ShiftedDepthwiseConv1d)
+    cnn_module_shifted: bool = False
     positionwise_conv_kernel_size: int = 3
     activation_type: str = "swish"
     # "legacy_rel_selfattn" (the trained A3T path, see tasks/mlm.py:366-392)
@@ -224,7 +227,7 @@ class ConformerBlock(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
             h = ConvolutionModule(
                 c.cnn_module_kernel, c.activation_type, dtype=c.dtype,
-                name="conv_module",
+                shifted=c.cnn_module_shifted, name="conv_module",
             )(h, train)
             x = x + drop(h, deterministic=det)
 

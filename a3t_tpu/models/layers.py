@@ -109,6 +109,38 @@ class _ShiftedConv1d(nn.Module):
         return out + bias.astype(out.dtype)
 
 
+class _ShiftedDepthwiseConv1d(nn.Module):
+    """Same-padded depthwise Conv1d as ``kernel_size`` shifted elementwise
+    multiply-adds.
+
+    Identical params to ``nn.Conv(features, (k,), feature_group_count=
+    features)`` (kernel (k, 1, D), bias (D,)) — a lowering choice only:
+    each tap is a (B, T, D) * (D,) broadcast on the VPU, accumulated in
+    fp32, avoiding XLA's grouped-conv lowering."""
+
+    features: int
+    kernel_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", xavier(), (self.kernel_size, 1, self.features))
+        bias = self.param("bias", zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        k, t = self.kernel_size, x.shape[1]
+        pad = (k - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (pad, k - 1 - pad), (0, 0)))
+        out = None
+        for i in range(k):
+            tap = (xp[:, i:i + t] * kernel[i, 0]).astype(jnp.float32)
+            out = tap if out is None else out + tap
+        out = out.astype(x.dtype)
+        return out + bias.astype(out.dtype)
+
+
 class MultiLayeredConv1d(nn.Module):
     """Two same-padded Conv1d with ReLU, FastSpeech-style position-wise layer
     (espnet/nets/pytorch_backend/transformer/multi_layer_conv.py, activation
@@ -152,23 +184,31 @@ class ConvolutionModule(nn.Module):
     kernel_size: int
     activation: str = "swish"
     dtype: Optional[jnp.dtype] = None
+    # lower the depthwise conv as k shifted multiply-adds (identical
+    # params/numerics, see _ShiftedDepthwiseConv1d)
+    shifted: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         d = x.shape[-1]
         h = nn.Conv(2 * d, (1,), kernel_init=xavier(), bias_init=zeros,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, name="Conv_0")(x)
         a, b = jnp.split(h, 2, axis=-1)
         h = a * nn.sigmoid(b)  # GLU over the channel dim
-        h = nn.Conv(
-            d,
-            (self.kernel_size,),
-            padding="SAME",
-            feature_group_count=d,
-            kernel_init=xavier(),
-            bias_init=zeros,
-            dtype=self.dtype,
-        )(h)
+        if self.shifted:
+            h = _ShiftedDepthwiseConv1d(
+                d, self.kernel_size, dtype=self.dtype, name="Conv_1")(h)
+        else:
+            h = nn.Conv(
+                d,
+                (self.kernel_size,),
+                padding="SAME",
+                feature_group_count=d,
+                kernel_init=xavier(),
+                bias_init=zeros,
+                dtype=self.dtype,
+                name="Conv_1",
+            )(h)
         # BatchNorm statistics stay float32 for stability
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5
@@ -177,7 +217,7 @@ class ConvolutionModule(nn.Module):
             h = h.astype(self.dtype)
         h = ACTIVATIONS[self.activation](h)
         return nn.Conv(d, (1,), kernel_init=xavier(), bias_init=zeros,
-                       dtype=self.dtype)(h)
+                       dtype=self.dtype, name="Conv_2")(h)
 
 
 class Postnet(nn.Module):

@@ -77,6 +77,12 @@ def build(variant: str):
         # whether the MXU matmul path beats XLA's conv lowering)
         enc_kw["positionwise_layer_type"] = "conv1d_shifted"
         dec_kw["positionwise_layer_type"] = "conv1d_shifted"
+    if variant == "shifted_conv":
+        # depthwise conv as k shifted multiply-adds (identical numerics;
+        # tests whether the VPU broadcast path beats XLA's grouped-conv
+        # lowering — the conv modules are ~23 ms of the prod step)
+        enc_kw["cnn_module_shifted"] = True
+        dec_kw["cnn_module_shifted"] = True
     if variant == "nopostnet":
         model_kw["postnet_layers"] = 0
     if variant in ("noattndrop", "nodrop"):
@@ -160,7 +166,8 @@ def main():
     ap.add_argument("--variants", nargs="+",
                     default=["prod", "xla_attn", "flash_only_attn_drop",
                              "nodrop", "nofrontend", "noconv",
-                             "linear_ffn", "shifted_ffn", "nopostnet", "fp32"])
+                             "linear_ffn", "shifted_ffn", "shifted_conv",
+                             "nopostnet", "fp32"])
     args = ap.parse_args()
 
     import os

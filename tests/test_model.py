@@ -211,3 +211,31 @@ def test_shifted_conv_ffn_matches_conv():
     y2 = shift.apply(v1, x, deterministic=True)  # conv params, shifted math
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("k", [7, 31])
+def test_shifted_depthwise_conv_module_matches_conv(k):
+    """cnn_module_shifted is a lowering choice, not a model change:
+    identical parameter tree and outputs to the grouped-conv formulation
+    for both production kernel sizes (enc k=7, dec k=31)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from a3t_tpu.models.layers import ConvolutionModule
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 40, 24)), jnp.float32)
+    conv = ConvolutionModule(k)
+    shift = ConvolutionModule(k, shifted=True)
+    v1 = conv.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = shift.init(jax.random.PRNGKey(0), x, train=False)
+    p1 = jax.tree_util.tree_leaves_with_path(v1)
+    p2 = jax.tree_util.tree_leaves_with_path(v2)
+    assert [kp for kp, _ in p1] == [kp for kp, _ in p2]
+    for (_, a), (_, b) in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    y1 = conv.apply(v1, x, train=False)
+    y2 = shift.apply(v1, x, train=False)  # conv params, shifted math
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=2e-5, atol=2e-5)
