@@ -36,7 +36,39 @@ import numpy as np
 REFERENCE_GPU_FRAMES_PER_SEC = 26000.0
 
 
+def _devices_with_timeout(timeout_s: float = 600.0):
+    """jax.devices() behind a watchdog: the remote-tunnel backend hangs
+    indefinitely at first device use when the tunnel is down, which would
+    otherwise stall the whole bench run."""
+    import threading
+
+    result: list = []
+
+    def probe():
+        import jax
+
+        result.append(jax.devices())
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return result[0] if result else None
+
+
 def main():
+    if _devices_with_timeout() is None:
+        # honest failure record instead of a hang — the last measured
+        # number lives in BENCH_r02.json / docs/STEP_BENCH.json
+        print(json.dumps({
+            "metric": "pretrain_mel_frames_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "mel-frames/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "TPU unreachable: device init timed out after 600 s "
+                     "(tunnel down); no measurement taken this run",
+        }))
+        return
+
     import jax
 
     # rbg PRNG: hardware-friendly random bits for dropout; ~25% faster
