@@ -49,6 +49,8 @@ const Rule kRules[] = {
     {"&:^", "ABLE", "S#", "AH0 B AH0 L"},  // miserables
     {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
     {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
+    {"", "ALK", "", "AO1 K"},   // talk, walk, falkner (binary drops the l
+                                // everywhere: malkin, alkaline)
     {"", "AIR", "", "EH1 R"},
     {"", "AI", "", "EY1"},
     {"", "AY", "", "EY1"},
@@ -64,14 +66,17 @@ const Rule kRules[] = {
     {"", "A", "RR", "AE1"},     // carrier, barro (RR then collapses)
     {"", "A", "NGE#", "EY1"},   // change, grange, lange
     {"", "A", "NGES#", "EY1"},  // ranges, changes
+    {"W", "A", "R", "AO1"},     // war(m), ware, aware, wary, warehouse
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
-    {"", "A", "RY#", "EY1"},    // gary, mary (magic y across r)
-    {"W", "A", "RE", "AO1"},    // ware, aware, warehouse
+    {"#:", "A", "RY#", "EY1"},  // gary, mary (magic y across r; polysyllabic
+                                // glossary/salary keep AA R)
     {"W", "A", "T", "AA1"},     // water, watch
     {"WH", "A", "T", "AA1"},    // what, whatever
     {"W", "A", "S", "AA1"},     // was, wasted, wasley
     {"", "A", "S$", "EY1"},     // casa, masochist
-    {"", "A", "W$", "AH0"},     // away, award, hathaway (keeps the W)
+    {"", "A", "WA", "AH0"},     // away, award, hathaway (keeps the W; the
+                                // binary absorbs w into AO before e/i/o:
+                                // awe, hawes, tawil, drawer, awoke)
     {"", "AW", "", "AO1"},
     {"W", "AR", "", "AO1 R"},   // war, ward, warm
     {"", "AR", "#", "ER0"},
@@ -154,13 +159,26 @@ const Rule kRules[] = {
     {"", "EAR", "", "IY1 R"},
     {"", "EE", "", "IY1"},
     {"", "EA", "SUR", "EH1"},   // measure, pleasure, treasure
+    {"L", "EA", "D", "IY1"},    // lead, leader (the binary's one ead=iy)
+    {"", "EA", "D", "EH1"},     // head, bread, meadow — the binary says EH
+                                // for every other ead (even bead, read)
     {"", "EA", "", "IY1"},
     {"", "EIGH", "", "EY1"},
     {"", "EI", "", "IY1"},
     {"", "EY", "", "IY1"},
     {"", "EU", "", "Y UW1"},    // euro, neuser
     {"", "E", "O", "IY1"},      // geotropism, carreon
-    {"", "EW", "", "UW1"},
+    // EW: the binary ligates ew only in the word's first syllable
+    // (#: context) — yod after f/p/h/m, plain uw otherwise; elsewhere the
+    // e sounds separately before a vowel (iy: newell, brewery, renewed)
+    // and is silent finally (nephew, curfew, renew -> w alone)
+    {"", "EW", "E", "IY1 W"},   // newell, fewer, jewel, ewen, brewery
+    {"#:F", "EW", "", "Y UW1"},  // few
+    {"#:P", "EW", "", "Y UW1"},  // pew
+    {"#:H", "EW", "", "Y UW1"},  // hew
+    {"#:M", "EW", "", "Y UW1"},  // mew
+    {"#:", "EW", "", "UW1"},     // new, crew, stew, sewage
+    {"", "EW", "", "W"},         // nephew, sinew, mildew, renewal
     {"", "ER", "#", "ER0"},
     {"", "ER", "", "ER1"},
     {"", "E", "", "EH1"},
@@ -253,8 +271,14 @@ const Rule kRules[] = {
     {"", "OUS", "L", "AH0 S"},   // famously, generously
     {"#M", "OVE", "#", "UW1 V"},      // move
     {"", "OVE", "#", "AH1 V"},        // love, dove, above
-    {"", "OUGH", "S#", "AH1 F"},  // troughs
-    {"", "OUGH", "#", "OW1"},
+    // OUGH per the binary: -ought=ao t (bought, even drought), vowel+r
+    // prefix keeps ow (thorough, borough — whose first o says er), the
+    // rest default to ah f (rough, dough, furlough); through/though are
+    // literals in the T group
+    {"", "OR", "OUGH", "ER1"},    // thorough, borough (the first o+r)
+    {"", "OUGH", "T", "AO1"},     // bought, thought, ought, drought
+    {"$R", "OUGH", "", "OW1"},    // thorough, borough(s)
+    {"", "OUGH", "", "AH1 F"},    // rough(est), dough, troughs, furlough
     {"", "OO", "K", "UH1"},
     {"", "OO", "D", "UH1"},     // wood, good, hagewood
     {"", "OO", "", "UW1"},
@@ -279,6 +303,9 @@ const Rule kRules[] = {
     {"", "OR", "", "AO1 R"},
     {"", "OL", "D", "OW1 L"},   // old/gold/beholden family
     {"", "O", "FF", "AO1"},     // off/office
+    {"", "O", "FT", "AO1"},     // soft(ware), loft
+    {"", "O", "SS#", "AO1"},    // boss, cross, toss (suffixed forms — bossy,
+                                // crossing, tossed — stay aa in the binary)
     {"", "O", "X", "AA1"},      // oxalis, oxygen
     {"", "O", "ST#", "OW1"},    // most, host, cost (binary: ow for all)
     {"", "O", "STS#", "OW1"},   // hosts
@@ -347,6 +374,8 @@ const Rule kRules[] = {
     {"$", "S", "$", "Z"},       // intervocalic s (rosener, myosin)
     {"", "S", "", "S"},
     // --- T ---
+    {"#", "THROUGH", "", "TH R UW1"},  // through(out), throughs
+    {"", "THOUGH", "#", "DH OW1"},     // though, although
     {"#", "THERE", "", "DH EH1 R"},  // there, therefore
     {"#", "THIS", "#", "DH IH1 S"},
     {"#", "THE", "#", "DH AH0"},
@@ -359,6 +388,9 @@ const Rule kRules[] = {
     {"", "TURE", "#", "CH ER0"},  // nature, future
     {"", "TURE", "D#", "CH ER0"}, // pictured
     {"", "TURE", "S#", "CH ER0"}, // pictures, natures
+    {"", "TUR", "$", "CH ER0"},   // lecturer, gesturing, maturity, turek —
+                                  // tur+vowel palatalizes (century's tur+y
+                                  // stays t er: $ excludes y)
     {"", "T", "", "T"},
     // --- U ---
     {"", "UY", "", "AY1"},       // guyer, uyehara

@@ -105,7 +105,10 @@ def test_native_g2p_agreement_floor():
     ours = {w: native_g2p(w.lower()) for w in words}
     vs_bin = float(np.mean([accuracy(ours[w], ref[w]) for w in words]))
     vs_cmu = float(np.mean([accuracy(ours[w], cmu[w]) for w in words]))
-    assert vs_bin >= 0.90, vs_bin
+    # measured 0.955/0.78 on this seed after pass 9; floor leaves slack
+    # for future rule churn without letting a regression slip to pass-8
+    # levels unnoticed
+    assert vs_bin >= 0.92, vs_bin
     assert vs_cmu >= 0.73, vs_cmu
 
 
