@@ -79,7 +79,9 @@ const Rule kRules[] = {
                                 // awe, hawes, tawil, drawer, awoke)
     {"", "AW", "", "AO1"},
     {"W", "AR", "", "AO1 R"},   // war, ward, warm
-    {"", "AR", "#", "ER0"},
+    {"&:", "AR", "#", "ER0"},   // dollar, sugar, cigar (monosyllables —
+                                // far, car, star — and, binary quirk,
+                                // plural -ars keep AA R)
     {"", "AR", "", "AA1 R"},
     {"", "A", "^LE#", "EY1"},   // table, cable, stable (magic over -le)
     {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
@@ -147,7 +149,9 @@ const Rule kRules[] = {
     {"#D", "E", "^$", "IH0"},   // de- prefix (demon, detail, design)
     {"", "E", "RI$", "IY1"},    // bacteria, serious, experience
     {"#WH", "E", "^", "EH1"},   // where, when, whether
-    {"", "ER", "ING#", "ER1"},  // wuthering, weathering
+    {"TH", "ER", "ING#", "ER1"},  // wuthering, gathering
+    {"", "E", "RING#", "IY1"},  // tendering, catering, suffering — the
+                                // binary says iy r for every other -ering
     {"TH", "ER", "ED#", "ER0"}, // furthered
     {"", "ER", "Y#", "ER1"},    // very, avery
     {"", "EVER", "#", "EH1 V ER0"},  // ever, whatever, never
@@ -211,7 +215,8 @@ const Rule kRules[] = {
     {"", "IGN", "%", "AY1 N"},  // assigning, signed
     {"", "IGN", "S#", "AY1 N"}, // resigns, signs
     {"", "IGN", "M", "AY1 N"},  // alignment(s)
-    {"", "IEW", "", "Y UW1"},   // view, viewing
+    {"V", "IEW", "", "Y UW1"},  // view, review, interview
+    {"", "IEW", "", "IY1 W"},   // vanliew, zbigniew
     {"F", "IED", "#", "AY1 D"},    // typified, certified
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
     {"&:^", "IES", "#", "IY0 S"},  // ... -ies (the binary devoices: ladies)
@@ -219,6 +224,12 @@ const Rule kRules[] = {
     {"", "IE", "#", "AY1"},
     {"", "IE", "D#", "AY1"},    // monosyllabic died/tried
     {"", "IE", "S#", "AY1"},
+    // mid-word ie: the binary sounds both letters — i long, e separate
+    // (field = ay eh, siege = ay iy) — except before n/v where i is iy
+    // (friend, audience, believe)
+    {"", "I", "EN", "IY1"},     // friend, audience, orient
+    {"", "I", "EV", "IY1"},     // believe, achieve
+    {"", "I", "E^", "AY1"},     // field, piece, diet, diesel, soviet
     {"&:^", "IVE", "", "IH0 V"},   // alive, derives, active
     {"#G", "IVE", "#", "IH1 V"},   // give
     {"#G", "IVE", "S#", "IH1 V"},  // gives
@@ -286,8 +297,9 @@ const Rule kRules[] = {
     {"", "OE", "", "OW1"},      // doe, inscoe, goetz
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
-    {"Y", "OU", "NG", "AH1"},   // young
-    {"Y", "OU", "", "UW1"},     // youth, you
+    {"#Y", "OU", "NG", "AH1"},  // young
+    {"#Y", "OU", "", "UW1"},    // youth, you (word-initial only: tryouts
+                                // keeps AW)
     {"", "OU", "S#", "AH0"},    // curious, various (-ous)
     {"", "OU", "R", "AO1"},     // course, lathouris
     {"", "OU", "", "AW1"},
@@ -416,6 +428,7 @@ const Rule kRules[] = {
     {"J", "U", "^%#", "UW1"},
     {"T", "U", "^%#", "UW1"},
     {"N", "U", "^%#", "UW1"},
+    {"S", "U", "^%#", "UW1"},
     {"", "U", "^%#", "Y UW1"},
     {"R", "U", "$", "UW1"},     // accruals, ruin
     {"L", "U", "^$", "UW1"},
@@ -423,7 +436,15 @@ const Rule kRules[] = {
     {"J", "U", "^$", "UW1"},
     {"T", "U", "^$", "UW1"},
     {"N", "U", "^$", "UW1"},
+    {"S", "U", "^$", "UW1"},    // sugar, susumu, super (no yod after s)
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
+    // final u: bare UW after the yod-dropping set, else Y UW (emu, menu)
+    {"L", "U", "#", "UW1"},     // flu
+    {"R", "U", "#", "UW1"},     // guru
+    {"D", "U", "#", "UW1"},     // hindu
+    {"S", "U", "#", "UW1"},
+    {"T", "U", "#", "UW1"},     // tutu
+    {"^", "U", "#", "Y UW1"},   // emu, menu, tofu (n keeps the yod)
     {"", "U", "", "AH1"},
     // --- V ---
     {"", "V", "", "V"},
@@ -438,6 +459,8 @@ const Rule kRules[] = {
     {"", "X", "", "K S"},       // the binary reads initial x as K S too
     // --- Y ---
     {"#", "Y", "", "Y"},
+    {"#:^", "Y", "#", "AY1"},   // monosyllables: my, try, why, sky
+    {"#:^", "Y", "$", "AY1"},   // tryout (y + vowel in the first syllable)
     {"", "Y", "#", "IY0"},
     {"", "Y", "ING#", "IY0"},   // quarrying, studying
     {"", "Y", "R", "IH1"},      // syria, syringe stay short
