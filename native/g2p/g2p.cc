@@ -60,6 +60,9 @@ const Rule kRules[] = {
     {"#", "AL", "#", "AH0 L"},
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
+    {"", "A", "L^", "AO1"},     // salt, calm, half, bald — the binary says
+                                // ao for a+l+consonant everywhere (italy,
+                                // catalyst, royalty included)
     {"W", "A", "RR", "AO1"},    // warren, warrant
     {"QU", "A", "RR", "AO1"},   // quarry
     {"#", "A", "RR", "AH0"},    // arrange, arrive
@@ -74,6 +77,7 @@ const Rule kRules[] = {
     {"WH", "A", "T", "AA1"},    // what, whatever
     {"W", "A", "S", "AA1"},     // was, wasted, wasley
     {"", "A", "S$", "EY1"},     // casa, masochist
+    {"", "A", "TIEN", "EY1"},   // patient, impatient, patience
     {"", "A", "WA", "AH0"},     // away, award, hathaway (keeps the W; the
                                 // binary absorbs w into AO before e/i/o:
                                 // awe, hawes, tawil, drawer, awoke)
@@ -155,6 +159,11 @@ const Rule kRules[] = {
     {"TH", "ER", "ED#", "ER0"}, // furthered
     {"", "ER", "Y#", "ER1"},    // very, avery
     {"", "EVER", "#", "EH1 V ER0"},  // ever, whatever, never
+    {"", "E", "VER", "EH1"},    // never, fever, every, several, severing —
+                                // the binary keeps eh only before v-e-r
+    {"", "E", "^E", "IY1"},     // seven, level, present, peters, general,
+                                // telephone: medial e in an open syllable
+                                // before another e sounds long
     {"", "E", "^%#", "IY1"},    // magic e on e itself (eke, theme)
     {"#:", "E", "R$", "EH1"},   // zero, hero, cleric (first vowel only;
                                 // asteroid/miserables reduce to er)
@@ -323,6 +332,13 @@ const Rule kRules[] = {
     {"", "O", "STS#", "OW1"},   // hosts
     {"", "O", "NG", "AO1"},     // long, song, longhi
     {"", "O", "NK", "AH1"},     // monk, monkey, donkey
+    // first-syllable o before n reduces to ah in the binary (money/honey,
+    // with o-n-e, and word-initial on/only are the exceptions)
+    {"#", "O", "NLY", "OW1"},   // only
+    {"#:^", "O", "N^", "AH1"},  // monday, wonder, month, honda
+    {"#:^", "O", "N#", "AH1"},  // non
+    {"#:^", "O", "NI", "AH1"},  // sonic, monitor, chronicled
+    {"#:^", "O", "NU", "AH1"},  // bonus
     {"", "O", "H$", "OW1"},     // coherence, cohen
     {"Y^", "O", "N#", "AH1"},   // tyson, bryson
     {"Y^", "O", "NS#", "AH1"},  // nylons
@@ -330,6 +346,9 @@ const Rule kRules[] = {
     {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
     {"#S", "OME", "", "AH1 M"},  // some(thing), somebody
     {"#", "O", "^&", "OW1"},    // word-initial open syllable (open, omead)
+    {"#M", "O", "V", "UW1"},    // move, moving, movies
+    {"", "O", "V", "AH1"},      // cover, govern, hover, november, soviet
+                                // (word-initial over/oval stay ow above)
     {"", "O", "^EY#", "OW1"},   // lokey, dopey
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"T", "O", "#", "UW1"},     // tomato, photo, cato
@@ -358,6 +377,8 @@ const Rule kRules[] = {
     {"", "SSION", "", "SH AH0 N"},  // emission, passion
     {"", "SSUE", "#", "SH UW1"},  // issue, tissue
     {"", "SSUR", "$", "SH ER0"},  // fissures, pressure
+    {"#", "SUR", "$", "SH ER1"},  // sure, surely
+    {"^", "SUR", "$", "SH ER0"},  // insure (voiceless after a consonant)
     {"", "SUR", "$", "ZH ER0"},   // measuring, pleasures
     {"", "SS", "", "S"},
     {"", "SION", "", "ZH AH0 N"},
@@ -395,6 +416,7 @@ const Rule kRules[] = {
     {"", "TH", "", "TH"},
     {"", "TT", "", "T T"},
     {"", "TION", "", "SH AH0 N"},
+    {"", "TIEN", "", "SH AH0 N"},  // patient, patience
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
     {"", "TU", "$", "CH UW0"},    // actual, situate, mutual
     {"", "TURE", "#", "CH ER0"},  // nature, future
@@ -411,7 +433,9 @@ const Rule kRules[] = {
     {"#", "UN", "O", "AH1 N"},   // unoccupied
     {"#", "UN", "^", "AH1 N"},   // un- prefix (under, unfit)
     {"#", "UN", "E", "AH1 N"},   // uneconomic, unequal
-    {"", "URE", "#", "UH1 R"},    // cure, pure, inure
+    {"P", "URE", "#", "Y UH1 R"},  // pure
+    {"C", "URE", "#", "Y UH1 R"},  // cure, secure, obscure
+    {"", "URE", "#", "UH1 R"},    // lure, endure, inure
     {"D", "U", "R$", "UH1"},      // during (no yod after d)
     {"", "U", "R$", "Y UH1"},     // curious, furious (r+vowel)
     {"", "UR", "", "ER1"},
@@ -438,6 +462,12 @@ const Rule kRules[] = {
     {"N", "U", "^$", "UW1"},
     {"S", "U", "^$", "UW1"},    // sugar, susumu, super (no yod after s)
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
+    // u in hiatus (before another vowel): yod unless the consonant before
+    // drops it (suit, juice, fluid vs capua, january, chihuahua)
+    {"S", "U", "$", "UW1"},
+    {"J", "U", "$", "UW1"},
+    {"L", "U", "$", "UW1"},
+    {"", "U", "$", "Y UW1"},
     // final u: bare UW after the yod-dropping set, else Y UW (emu, menu)
     {"L", "U", "#", "UW1"},     // flu
     {"R", "U", "#", "UW1"},     // guru
@@ -463,7 +493,8 @@ const Rule kRules[] = {
     {"#:^", "Y", "$", "AY1"},   // tryout (y + vowel in the first syllable)
     {"", "Y", "#", "IY0"},
     {"", "Y", "ING#", "IY0"},   // quarrying, studying
-    {"", "Y", "R", "IH1"},      // syria, syringe stay short
+    {"", "Y", "RI", "IH1"},     // syria, syringe stay short (myron, tyrant,
+                                // syrup go long via the open-syllable rule)
     {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
     {"", "Y", "^$", "AY1"},     // tyson, nylons, pyxis
     {"", "Y", "", "IH1"},

@@ -107,8 +107,8 @@ def test_native_g2p_agreement_floor():
     vs_cmu = float(np.mean([accuracy(ours[w], cmu[w]) for w in words]))
     # measured 0.955/0.78 on this seed after pass 9; floor leaves slack
     # for future rule churn without letting a regression slip to pass-8
-    # levels unnoticed
-    assert vs_bin >= 0.92, vs_bin
+    # levels unnoticed (measured 0.964 on this seed after pass 11)
+    assert vs_bin >= 0.93, vs_bin
     assert vs_cmu >= 0.73, vs_cmu
 
 
