@@ -114,6 +114,7 @@ const Rule kRules[] = {
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
+    {"", "CCH", "", "K CH"},    // facchini, bochicchio
     {"", "CC", "+", "K S"},     // succeed, accent
     {"", "CC", "", "K K"},      // accuse, accruals (binary doubles)
     {"", "COME", "#", "K AH1 M"},  // come, become, income
@@ -175,6 +176,8 @@ const Rule kRules[] = {
     {"L", "EA", "D", "IY1"},    // lead, leader (the binary's one ead=iy)
     {"", "EA", "D", "EH1"},     // head, bread, meadow — the binary says EH
                                 // for every other ead (even bead, read)
+    {"#:", "EA", "#", "IY1"},   // sea, tea, plea (monosyllables)
+    {"", "EA", "#", "IY1 AH0"}, // area, korea, idea (final ea adds schwa)
     {"", "EA", "", "IY1"},
     {"", "EIGH", "", "EY1"},
     {"", "EI", "", "IY1"},
@@ -203,6 +206,8 @@ const Rule kRules[] = {
     {"", "GU", "$", "G"},       // silent u: guess, guide, vague, argue
     {"", "GG", "", "G"},
     {"#", "GH", "", "G HH"},    // ghost, ghetto (the binary sounds both)
+    {"", "GH", "$", "G HH"},    // baugher, mcghie (sounded before a vowel;
+                                // silent before t/# — caught, laugh)
     {"", "GH", "", ""},
     {"BE", "G", "", "G"},       // begin, begets (hard g)
     {"#", "G", "IA", "JH"},     // giant
@@ -235,10 +240,13 @@ const Rule kRules[] = {
     {"", "IE", "S#", "AY1"},
     // mid-word ie: the binary sounds both letters — i long, e separate
     // (field = ay eh, siege = ay iy) — except before n/v where i is iy
-    // (friend, audience, believe)
+    // (friend, audience, believe) and in the -ier suffix (heavier)
+    {"", "I", "ER#", "IY0"},    // heavier, earlier, soldier, brier
+    {"", "I", "ERS#", "IY0"},   // carriers
     {"", "I", "EN", "IY1"},     // friend, audience, orient
     {"", "I", "EV", "IY1"},     // believe, achieve
     {"", "I", "E^", "AY1"},     // field, piece, diet, diesel, soviet
+    {"", "I", "RY#", "AY1"},    // inquiry
     {"&:^", "IVE", "", "IH0 V"},   // alive, derives, active
     {"#G", "IVE", "#", "IH1 V"},   // give
     {"#G", "IVE", "S#", "IH1 V"},  // gives
@@ -246,6 +254,10 @@ const Rule kRules[] = {
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
+    {"#", "I", "V$", "IH1"},    // ivan, ivor (the binary keeps these short)
+    {"#", "I", "M$", "IH1"},    // image, imagine, imogene
+    {"#", "I", "D$", "IH1"},    // idea
+    {"#", "I", "RE", "IH1"},    // irene (iris/iron stay long below)
     {"#", "I", "^$", "AY1"},    // item, isis
     {"", "I", "R$", "AY1"},     // quiroz, i before r+vowel
     {"", "IR", "", "ER1"},
@@ -306,6 +318,9 @@ const Rule kRules[] = {
     {"", "OE", "", "OW1"},      // doe, inscoe, goetz
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
+    {"", "OU", "PLE", "AH1"},   // couple(s)
+    {"", "OU", "P", "UW1"},     // soup, group, coup, coupon
+    {"#", "OU", "R", "AW1"},    // our, ours
     {"#Y", "OU", "NG", "AH1"},  // young
     {"#Y", "OU", "", "UW1"},    // youth, you (word-initial only: tryouts
                                 // keeps AW)
@@ -315,7 +330,8 @@ const Rule kRules[] = {
     {"H", "OWE", "#", "AW1"},   // howe
     {"", "OWE", "#", "OW1"},    // lowe, crowe, rowe
     {"#P", "OW", "$", "AW1"},   // power(ed)
-    {"#H", "OW", "$", "AW1"},   // howard, howell
+    {"#H", "OW", "", "AW1"},    // howard, howell, howl, how
+    {"#D", "OW", "", "AW1"},    // down(s), downgrade, dow
     {"", "OW", "$", "OW1"},     // tower, shower, flower
     {"", "OW", "", "OW1"},      // the binary's ow default (browner, rowly)
     {"W", "OR", "^", "ER1"},    // work, word, worms
@@ -414,6 +430,7 @@ const Rule kRules[] = {
     {"#", "THE", "#", "DH AH0"},
     {"", "TH", "ER", "DH"},     // weather, rather
     {"", "TH", "", "TH"},
+    {"", "TTH", "", "T TH"},    // witthuhn, potthast
     {"", "TT", "", "T T"},
     {"", "TION", "", "SH AH0 N"},
     {"", "TIEN", "", "SH AH0 N"},  // patient, patience
@@ -453,6 +470,7 @@ const Rule kRules[] = {
     {"T", "U", "^%#", "UW1"},
     {"N", "U", "^%#", "UW1"},
     {"S", "U", "^%#", "UW1"},
+    {"D", "U", "^%#", "UW1"},   // dunes, dude (no yod after d)
     {"", "U", "^%#", "Y UW1"},
     {"R", "U", "$", "UW1"},     // accruals, ruin
     {"L", "U", "^$", "UW1"},
@@ -461,12 +479,14 @@ const Rule kRules[] = {
     {"T", "U", "^$", "UW1"},
     {"N", "U", "^$", "UW1"},
     {"S", "U", "^$", "UW1"},    // sugar, susumu, super (no yod after s)
+    {"D", "U", "^$", "UW1"},    // duty
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
     // u in hiatus (before another vowel): yod unless the consonant before
     // drops it (suit, juice, fluid vs capua, january, chihuahua)
     {"S", "U", "$", "UW1"},
     {"J", "U", "$", "UW1"},
     {"L", "U", "$", "UW1"},
+    {"D", "U", "$", "UW1"},     // duey
     {"", "U", "$", "Y UW1"},
     // final u: bare UW after the yod-dropping set, else Y UW (emu, menu)
     {"L", "U", "#", "UW1"},     // flu
@@ -474,6 +494,7 @@ const Rule kRules[] = {
     {"D", "U", "#", "UW1"},     // hindu
     {"S", "U", "#", "UW1"},
     {"T", "U", "#", "UW1"},     // tutu
+    {"H", "U", "#", "UW1"},     // chu
     {"^", "U", "#", "Y UW1"},   // emu, menu, tofu (n keeps the yod)
     {"", "U", "", "AH1"},
     // --- V ---
