@@ -47,12 +47,14 @@ const Rule kRules[] = {
     {"", "ATION", "#", "EY1 SH AH0 N"},  // nation, alteration
     {"&:^", "ABLE", "#", "AH0 B AH0 L"},  // reasonable, capable
     {"&:^", "ABLE", "S#", "AH0 B AH0 L"},  // miserables
+    {"", "ABLE", "", "EY1 B AH0 L"},  // tablet, ablest, gabler
     {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
     {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
     {"", "ALK", "", "AO1 K"},   // talk, walk, falkner (binary drops the l
                                 // everywhere: malkin, alkaline)
     {"", "AIR", "", "EH1 R"},
     {"", "AI", "", "EY1"},
+    {"", "AYES", "#", "EY1 IH0 S"},  // hayes, mayes, bayes
     {"", "AY", "", "EY1"},
     {"", "AU", "", "AO1"},
     {"#", "A", "L$", "AH0"},    // along, alive, alas
@@ -108,6 +110,7 @@ const Rule kRules[] = {
     {"#", "CHR", "", "K R"},    // christ-, chrome
     {"", "CIATE", "#", "SH EY1 T"},  // associate, dissociate
     {"", "CIA", "", "SH AH0"},  // indicia, valencia
+    {"", "CIEN", "", "SH EH1 N"},  // ancient, efficiency, prescience
     {"", "CIE", "", "S IY0"},   // muncie, acierno
     {"", "CI", "$", "SH"},      // -cio/-cious (gumucio, gracious)
     {"TE", "CH", "", "K"},      // tech, biotechs
@@ -172,6 +175,7 @@ const Rule kRules[] = {
     {"", "EAR", "N", "ER1"},    // learn, mearns
     {"", "EAR", "", "IY1 R"},
     {"", "EE", "", "IY1"},
+    {"", "EAU", "#", "IY1 Y UW1"},  // beau, plateau, bibeau, rambeau
     {"", "EA", "SUR", "EH1"},   // measure, pleasure, treasure
     {"L", "EA", "D", "IY1"},    // lead, leader (the binary's one ead=iy)
     {"", "EA", "D", "EH1"},     // head, bread, meadow — the binary says EH
@@ -193,6 +197,7 @@ const Rule kRules[] = {
     {"#:P", "EW", "", "Y UW1"},  // pew
     {"#:H", "EW", "", "Y UW1"},  // hew
     {"#:M", "EW", "", "Y UW1"},  // mew
+    {"#:K", "EW", "", "Y UW1"},  // kew, skew
     {"#:", "EW", "", "UW1"},     // new, crew, stew, sewage
     {"", "EW", "", "W"},         // nephew, sinew, mildew, renewal
     {"", "ER", "#", "ER0"},
@@ -241,7 +246,9 @@ const Rule kRules[] = {
     // mid-word ie: the binary sounds both letters — i long, e separate
     // (field = ay eh, siege = ay iy) — except before n/v where i is iy
     // (friend, audience, believe) and in the -ier suffix (heavier)
+    {"", "IERE", "#", "IY0 ER0"},  // carriere, premiere
     {"", "I", "ER#", "IY0"},    // heavier, earlier, soldier, brier
+    {"", "I", "ER$", "IY0"},    // fiero, carriere, premieres
     {"", "I", "ERS#", "IY0"},   // carriers
     {"", "I", "EN", "IY1"},     // friend, audience, orient
     {"", "I", "EV", "IY1"},     // believe, achieve
@@ -255,6 +262,8 @@ const Rule kRules[] = {
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
     {"#", "I", "V$", "IH1"},    // ivan, ivor (the binary keeps these short)
+    {"#", "I", "N$", "IH1"},    // inequity (in- prefix over a vowel)
+    {"#", "I", "L$", "IH1"},    // iliescu
     {"#", "I", "M$", "IH1"},    // image, imagine, imogene
     {"#", "I", "D$", "IH1"},    // idea
     {"#", "I", "RE", "IH1"},    // irene (iris/iron stay long below)
@@ -318,6 +327,7 @@ const Rule kRules[] = {
     {"", "OE", "", "OW1"},      // doe, inscoe, goetz
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
+    {"^", "OU", "ST", "AH1"},   // foust, joust, houston (oust stays aw)
     {"", "OU", "PLE", "AH1"},   // couple(s)
     {"", "OU", "P", "UW1"},     // soup, group, coup, coupon
     {"#", "OU", "R", "AW1"},    // our, ours
@@ -386,6 +396,7 @@ const Rule kRules[] = {
     {"#", "RE", "^$", "R IY0"},  // re- prefix (repack, return)
     {"", "R", "", "R"},
     // --- S ---
+    {"", "SCH", "#", "S CH"},   // fisch, masch, kusch (word-final only)
     {"", "SCH", "", "S K"},     // the binary's sch (schwinn -> S K W)
     {"", "SH", "", "SH"},
     {"", "SCIA", "", "SH AH0"},   // coscia
@@ -435,6 +446,8 @@ const Rule kRules[] = {
     {"", "TION", "", "SH AH0 N"},
     {"", "TIEN", "", "SH AH0 N"},  // patient, patience
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
+    {"", "TUE", "#", "T UW1"},    // virtue's -tue, tue (silent final e)
+    {"", "TU", "E", "T UW1"},     // tuesday (no ch/yod before e)
     {"", "TU", "$", "CH UW0"},    // actual, situate, mutual
     {"", "TURE", "#", "CH ER0"},  // nature, future
     {"", "TURE", "D#", "CH ER0"}, // pictured
