@@ -49,6 +49,7 @@ const Rule kRules[] = {
     {"&:^", "ABLE", "S#", "AH0 B AH0 L"},  // miserables
     {"", "ABLE", "", "EY1 B AH0 L"},  // tablet, ablest, gabler
     {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
+    {"U", "AGE", "#", "IH0 JH"},    // language
     {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
     {"", "ALK", "", "AO1 K"},   // talk, walk, falkner (binary drops the l
                                 // everywhere: malkin, alkaline)
@@ -94,6 +95,8 @@ const Rule kRules[] = {
     {"", "A", "^I#", "EY1"},
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
     {"", "A", "^EY#", "EY1"},   // paley, maley
+    {"", "A", "^EE#", "EY1"},   // magee, mcatee
+    {"", "A", "^IE#", "EY1"},   // alie
     {"", "A", "^IES#", "EY1"},  // ladies, babies
     {"", "A", "^ERY#", "EY1"},  // avery, bakery
     {"I", "A", "L#", "AH0"},    // dial, trial, material
@@ -133,6 +136,9 @@ const Rule kRules[] = {
     {"HE", "D", "#", "T"},      // -shed/-ched (washed, matched)
     {"XE", "D", "#", "T"},
     {"SSE", "D", "#", "T"},     // passed, missed
+    {"RSE", "D", "#", "T"},     // nursed
+    {"NSE", "D", "#", "T"},     // rinsed
+    {"LSE", "D", "#", "T"},     // pulsed
     {"#:^E", "D", "#", "D"},
     {"", "D", "", "D"},
     // --- E ---
@@ -150,7 +156,8 @@ const Rule kRules[] = {
     {"&:X", "E", "S#", "IH0"},
     {"&:H", "E", "S#", "IH0"},  // -shes/-ches
     {"&:^", "E", "LY#", ""},    // silent e before -ly (wakely, lately)
-    {"&:^", "E", "FUL#", ""},   // silent e before -ful (tuneful)
+    {"&:^", "E", "FUL", ""},    // silent e before -ful (tuneful,
+                                // usefulness)
     {"&:^", "E", "D#", ""},     // otherwise the -ed e is silent (packed)
     {"&:^", "E", "S#", ""},     // ... and the -es e too (drakes)
     {"#B", "E", "^$", "IH0"},   // be- prefix (become, begin, belong)
@@ -204,7 +211,9 @@ const Rule kRules[] = {
     {"", "ER", "", "ER1"},
     {"", "E", "", "EH1"},
     // --- F ---
-    {"", "FUL", "#", "F UH1 L"},  // powerful, useful
+    {"", "FULLY", "#", "F UH1 L IY0"},  // carefully, fully
+    {"", "FULL", "", "F UH1 L"},        // full(ness), fuller
+    {"", "FUL", "", "F UH1 L"},  // powerful, useful(ness)
     {"", "FF", "", "F F"},
     {"", "F", "", "F"},
     // --- G ---
@@ -220,6 +229,7 @@ const Rule kRules[] = {
     {"", "G", "+", "JH"},
     {"", "G", "", "G"},
     // --- H ---
+    {"#", "HOUR", "", "AW1 ER0"},  // hour(ly), hourlong (silent h)
     {"#", "HW", "", "W"},  // hwa
     {"#", "H", "$", "HH"},
     {"$", "H", "#", ""},   // silent final h (oh, ah)
@@ -296,10 +306,12 @@ const Rule kRules[] = {
     {"", "MM", "", "M M"},
     {"", "M", "", "M"},         // (the binary keeps the b in -mb: comb)
     // --- N ---
+    {"I", "NGE", "#", "NG G"},  // hinge, fringe, impinge
     {"", "NGE", "#", "N JH"},   // soft g on final -nge (change)
     {"A", "NG", "+", "N JH"},   // ranges, dangers, tangible
     {"E", "NG", "+", "N JH"},   // avenger, engel
     {"", "NG", "$", "NG G"},    // dischinger, goetzinger
+    {"", "NG", "L", "NG G"},    // angle, single, jungle, tanglewood
     {"", "NG", "", "NG"},
     {"", "NN", "", "N N"},
     {"", "N", "K", "NG"},       // bank, think, monkey
@@ -324,7 +336,9 @@ const Rule kRules[] = {
     {"", "OO", "D", "UH1"},     // wood, good, hagewood
     {"", "OO", "", "UW1"},
     {"", "OA", "", "OW1"},
-    {"", "OE", "", "OW1"},      // doe, inscoe, goetz
+    {"", "OE", "#", "OW1"},     // doe, inscoe
+    {"", "OE", "S#", "OW1"},    // goes, toes, shoes
+    {"", "O", "E", "OW1"},      // poem, phoenix, voest: both letters sound
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
     {"^", "OU", "ST", "AH1"},   // foust, joust, houston (oust stays aw)
@@ -365,13 +379,15 @@ const Rule kRules[] = {
     {"#:^", "O", "N#", "AH1"},  // non
     {"#:^", "O", "NI", "AH1"},  // sonic, monitor, chronicled
     {"#:^", "O", "NU", "AH1"},  // bonus
+    {"#:^", "O", "NA", "AH1"},  // donar, monaghan, sonata
     {"", "O", "H$", "OW1"},     // coherence, cohen
     {"Y^", "O", "N#", "AH1"},   // tyson, bryson
     {"Y^", "O", "NS#", "AH1"},  // nylons
     {"$", "O", "N#", "AH1"},    // carreon (vowel hiatus + final n)
     {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
     {"#S", "OME", "", "AH1 M"},  // some(thing), somebody
-    {"#", "O", "^&", "OW1"},    // word-initial open syllable (open, omead)
+    {"#", "O", "^E", "OW1"},    // open, omen, obey (long only before e)
+    {"#", "O", "&", "OW1"},     // oasis (o in hiatus)
     {"#M", "O", "V", "UW1"},    // move, moving, movies
     {"", "O", "V", "AH1"},      // cover, govern, hover, november, soviet
                                 // (word-initial over/oval stay ow above)
@@ -381,6 +397,7 @@ const Rule kRules[] = {
     {"", "O", "#", "OW1"},
     {"", "O", "", "AA1"},
     // --- P ---
+    {"#", "PRE", "#", "P R IY1"},  // the bare token "pre"
     {"", "PH", "", "F"},
     {"", "PP", "", "P P"},
     {"", "P", "", "P"},
@@ -390,6 +407,7 @@ const Rule kRules[] = {
     {"", "QU", "", "K W"},
     {"", "Q", "", "K"},
     // --- R ---
+    {"#", "RHY", "", "R IH1"},  // rhythm (rhode keeps the h)
     {"WA", "RR", "", "R R"},    // warren, warrant (binary keeps both)
     {"UA", "RR", "", "R R"},    // quarrying
     {"", "RR", "", "R"},
@@ -457,6 +475,8 @@ const Rule kRules[] = {
                                   // stays t er: $ excludes y)
     {"", "T", "", "T"},
     // --- U ---
+    {"G", "U", "$", "W"},        // language, penguin, munguia (u after a
+                                 // sounded g glides)
     {"", "UY", "", "AY1"},       // guyer, uyehara
     {"#", "UR", "$", "Y UH1 R"}, // urinary, uranium
     {"#", "UN", "A", "AH1 N"},   // unaware, unawares
@@ -507,7 +527,7 @@ const Rule kRules[] = {
     {"D", "U", "#", "UW1"},     // hindu
     {"S", "U", "#", "UW1"},
     {"T", "U", "#", "UW1"},     // tutu
-    {"H", "U", "#", "UW1"},     // chu
+    {"CH", "U", "#", "UW1"},    // chu (zhu keeps the yod)
     {"^", "U", "#", "Y UW1"},   // emu, menu, tofu (n keeps the yod)
     {"", "U", "", "AH1"},
     // --- V ---
@@ -529,6 +549,8 @@ const Rule kRules[] = {
     {"", "Y", "ING#", "IY0"},   // quarrying, studying
     {"", "Y", "RI", "IH1"},     // syria, syringe stay short (myron, tyrant,
                                 // syrup go long via the open-syllable rule)
+    {"", "YRE", "#", "AY1 R IY0"},  // tyre, smyre (the binary sounds
+                                    // the final e)
     {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
     {"", "Y", "^$", "AY1"},     // tyson, nylons, pyxis
     {"", "Y", "", "IH1"},
