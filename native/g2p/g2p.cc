@@ -55,7 +55,7 @@ const Rule kRules[] = {
                                 // everywhere: malkin, alkaline)
     {"", "AIR", "", "EH1 R"},
     {"", "AI", "", "EY1"},
-    {"", "AYES", "#", "EY1 IH0 S"},  // hayes, mayes, bayes
+    {"", "AYE", "", "EY1 IH0"},  // hayes, played, frayer, layer
     {"", "AY", "", "EY1"},
     {"", "AU", "", "AO1"},
     {"#", "A", "L$", "AH0"},    // along, alive, alas
@@ -70,8 +70,8 @@ const Rule kRules[] = {
     {"QU", "A", "RR", "AO1"},   // quarry
     {"#", "A", "RR", "AH0"},    // arrange, arrive
     {"", "A", "RR", "AE1"},     // carrier, barro (RR then collapses)
-    {"", "A", "NGE#", "EY1"},   // change, grange, lange
-    {"", "A", "NGES#", "EY1"},  // ranges, changes
+    {"", "A", "NGE", "EY1"},    // change(r), danger, angel, anger — the
+                                // binary says ey for every a+nge
     {"W", "A", "R", "AO1"},     // war(m), ware, aware, wary, warehouse
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
     {"#:", "A", "RY#", "EY1"},  // gary, mary (magic y across r; polysyllabic
@@ -95,6 +95,10 @@ const Rule kRules[] = {
     {"", "A", "^I#", "EY1"},
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
     {"", "A", "^EY#", "EY1"},   // paley, maley
+    {"", "A", "GE", "EY1"},     // bagel (agent/garage paths fire above)
+    {"", "A", "CE", "EY1"},     // macek, palace-family
+    {"", "A", "KE", "EY1"},     // aken, make-family
+    {"", "A", "XI", "EY1"},     // taxi(ed)
     {"", "A", "^EE#", "EY1"},   // magee, mcatee
     {"", "A", "^IE#", "EY1"},   // alie
     {"", "A", "^IES#", "EY1"},  // ladies, babies
@@ -114,12 +118,15 @@ const Rule kRules[] = {
     {"", "CIATE", "#", "SH EY1 T"},  // associate, dissociate
     {"", "CIA", "", "SH AH0"},  // indicia, valencia
     {"", "CIEN", "", "SH EH1 N"},  // ancient, efficiency, prescience
+    {"", "CIET", "", "S AY1 EH0 T"},  // society, societies
     {"", "CIE", "", "S IY0"},   // muncie, acierno
     {"", "CI", "$", "SH"},      // -cio/-cious (gumucio, gracious)
     {"TE", "CH", "", "K"},      // tech, biotechs
+    {"^E", "CH", "#", "K"},     // lech, zech, cech (speech/teach keep ch)
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
+    {"", "CCI", "$", "K SH"},   // riccio, muccio
     {"", "CCH", "", "K CH"},    // facchini, bochicchio
     {"", "CC", "+", "K S"},     // succeed, accent
     {"", "CC", "", "K K"},      // accuse, accruals (binary doubles)
@@ -135,6 +142,7 @@ const Rule kRules[] = {
     {"FE", "D", "#", "T"},
     {"HE", "D", "#", "T"},      // -shed/-ched (washed, matched)
     {"XE", "D", "#", "T"},
+    {"YE", "D", "#", "T"},      // played, annoyed, employed
     {"SSE", "D", "#", "T"},     // passed, missed
     {"RSE", "D", "#", "T"},     // nursed
     {"NSE", "D", "#", "T"},     // rinsed
@@ -145,6 +153,8 @@ const Rule kRules[] = {
     {"#:", "E", "#", ""},
     {"^", "E", "#", ""},  // silent final e
     {"GU", "E", "#", ""},  // silent final e after gu (vague, argue)
+    {"U", "E", "D#", ""},  // construed, glued, sued
+    {"U", "E", "S#", ""},  // blues, sues
     {"GU", "E", "S#", ""}, // leagues
     // -ed/-es keep a syllable after t/d and sibilants (wanted, houses)
     {"&:T", "E", "D#", "IH0"},
@@ -225,6 +235,7 @@ const Rule kRules[] = {
     {"", "GH", "", ""},
     {"BE", "G", "", "G"},       // begin, begets (hard g)
     {"#", "G", "IA", "JH"},     // giant
+    {"#", "G", "IU", "JH"},     // giuliani, giusti
     {"#", "G", "I", "G"},       // gift, girl, give, ginger
     {"", "G", "+", "JH"},
     {"", "G", "", "G"},
@@ -238,6 +249,7 @@ const Rule kRules[] = {
     {"", "H", "$", "HH"},  // intervocalic h sounds (behold, ahead)
     {"", "H", "", "HH"},
     // --- I ---
+    {"", "IU", "", "IH0 Y UW1"},  // liu, giuliani
     {"", "IGH", "", "AY1"},
     {"", "I", "QUE#", "IY1"},   // antique, unique
     {"", "IGN", "#", "AY1 N"},  // sign, assign
@@ -247,6 +259,7 @@ const Rule kRules[] = {
     {"V", "IEW", "", "Y UW1"},  // view, review, interview
     {"", "IEW", "", "IY1 W"},   // vanliew, zbigniew
     {"F", "IED", "#", "AY1 D"},    // typified, certified
+    {"X", "IED", "#", "AY1 D"},    // taxied
     {"&:^", "IED", "#", "IY0 D"},  // polysyllabic -ied (studied)
     {"&:^", "IES", "#", "IY0 S"},  // ... -ies (the binary devoices: ladies)
     {"&:^", "IE", "#", "IY0"},     // allie, charlie
@@ -339,9 +352,11 @@ const Rule kRules[] = {
     {"", "OE", "#", "OW1"},     // doe, inscoe
     {"", "OE", "S#", "OW1"},    // goes, toes, shoes
     {"", "O", "E", "OW1"},      // poem, phoenix, voest: both letters sound
+    {"", "OYE", "", "OW1 IH0"},  // annoyed, employed, boyett, shroyer
     {"", "OY", "", "OY1"},
     {"", "OI", "", "OY1"},
     {"^", "OU", "ST", "AH1"},   // foust, joust, houston (oust stays aw)
+    {"", "OUL", "D", "UH1"},    // would, could, should(er), boulder
     {"", "OU", "PLE", "AH1"},   // couple(s)
     {"", "OU", "P", "UW1"},     // soup, group, coup, coupon
     {"#", "OU", "R", "AW1"},    // our, ours
@@ -374,6 +389,7 @@ const Rule kRules[] = {
     {"", "O", "NK", "AH1"},     // monk, monkey, donkey
     // first-syllable o before n reduces to ah in the binary (money/honey,
     // with o-n-e, and word-initial on/only are the exceptions)
+    {"#C", "O", "N", "AA1"},    // conn, condoms, congruence
     {"#", "O", "NLY", "OW1"},   // only
     {"#:^", "O", "N^", "AH1"},  // monday, wonder, month, honda
     {"#:^", "O", "N#", "AH1"},  // non
@@ -391,6 +407,13 @@ const Rule kRules[] = {
     {"#M", "O", "V", "UW1"},    // move, moving, movies
     {"", "O", "V", "AH1"},      // cover, govern, hover, november, soviet
                                 // (word-initial over/oval stay ow above)
+    // first-syllable open o: long before e (model, hotel, moment,
+    // closeness), after c always (society, locally), and before d/l+i
+    // (bodies, nolie); the rest stay aa (coda, gogo, total, mosiman)
+    {"#:^", "O", "C", "OW1"},
+    {"#:^", "O", "^E", "OW1"},
+    {"#:^", "O", "DI", "OW1"},
+    {"#:^", "O", "LI", "OW1"},
     {"", "O", "^EY#", "OW1"},   // lokey, dopey
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"T", "O", "#", "UW1"},     // tomato, photo, cato
@@ -493,6 +516,12 @@ const Rule kRules[] = {
     {"R", "UE", "#", "UW1"},    // true
     {"D", "UE", "#", "UW1"},    // due
     {"J", "UE", "#", "UW1"},
+    {"L", "UE", "S#", "UW1"},   // blues, clues
+    {"R", "UE", "S#", "UW1"},   // trues
+    {"R", "UE", "D#", "UW1"},   // construed, accrued
+    {"L", "UE", "D#", "UW1"},   // glued
+    {"D", "UE", "S#", "UW1"},   // dues
+    {"J", "UE", "D#", "UW1"},
     {"L", "UE", "", "UW1 EH1"},  // fluent, luehring
     {"R", "UE", "", "UW1 EH1"},
     {"", "UE", "", "Y UW1"},    // cue, buerge
