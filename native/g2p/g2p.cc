@@ -175,8 +175,10 @@ const Rule kRules[] = {
     {"", "E", "RI$", "IY1"},    // bacteria, serious, experience
     {"#WH", "E", "^", "EH1"},   // where, when, whether
     {"TH", "ER", "ING#", "ER1"},  // wuthering, gathering
-    {"", "E", "RING#", "IY1"},  // tendering, catering, suffering — the
+    {"", "E", "RING", "IY1"},   // tendering, catering, offerings — the
                                 // binary says iy r for every other -ering
+    {"", "E", "RI", "EH1"},     // america, maseri, roderica, limerick —
+                                // e sounds eh before r+i+consonant
     {"TH", "ER", "ED#", "ER0"}, // furthered
     {"", "ER", "Y#", "ER1"},    // very, avery
     {"", "EVER", "#", "EH1 V ER0"},  // ever, whatever, never
@@ -210,6 +212,7 @@ const Rule kRules[] = {
     // e sounds separately before a vowel (iy: newell, brewery, renewed)
     // and is silent finally (nephew, curfew, renew -> w alone)
     {"", "EW", "E", "IY1 W"},   // newell, fewer, jewel, ewen, brewery
+    {"CH", "EW", "", "UW1"},     // chew(y) — the ch digraph drops yod
     {"#:F", "EW", "", "Y UW1"},  // few
     {"#:P", "EW", "", "Y UW1"},  // pew
     {"#:H", "EW", "", "Y UW1"},  // hew
@@ -236,11 +239,14 @@ const Rule kRules[] = {
     {"BE", "G", "", "G"},       // begin, begets (hard g)
     {"#", "G", "IA", "JH"},     // giant
     {"#", "G", "IU", "JH"},     // giuliani, giusti
+    {"#", "G", "I$", "JH"},     // giel, giordani (gi + vowel)
     {"#", "G", "I", "G"},       // gift, girl, give, ginger
     {"", "G", "+", "JH"},
     {"", "G", "", "G"},
     // --- H ---
     {"#", "HOUR", "", "AW1 ER0"},  // hour(ly), hourlong (silent h)
+    {"#", "H", "Y", ""},           // hyson, hyperbole (the binary's
+                                   // word-initial hy drops the h)
     {"#", "HW", "", "W"},  // hwa
     {"#", "H", "$", "HH"},
     {"$", "H", "#", ""},   // silent final h (oh, ah)
@@ -249,6 +255,8 @@ const Rule kRules[] = {
     {"", "H", "$", "HH"},  // intervocalic h sounds (behold, ahead)
     {"", "H", "", "HH"},
     // --- I ---
+    {"", "IU", "M#", "IH0 AH0"},  // rhodium, plasmodium
+    {"", "IU", "S#", "IH0 AH0"},  // vesuvius, pocius
     {"", "IU", "", "IH0 Y UW1"},  // liu, giuliani
     {"", "IGH", "", "AY1"},
     {"", "I", "QUE#", "IY1"},   // antique, unique
@@ -324,6 +332,8 @@ const Rule kRules[] = {
     {"A", "NG", "+", "N JH"},   // ranges, dangers, tangible
     {"E", "NG", "+", "N JH"},   // avenger, engel
     {"", "NG", "$", "NG G"},    // dischinger, goetzinger
+    {"", "NG", "LY#", "NG"},    // shockingly, willingly (-ly suffix)
+    {"", "NGLE", "^", "NG G AH0 L"},  // bunglers, tanglewood, singley
     {"", "NG", "L", "NG G"},    // angle, single, jungle, tanglewood
     {"", "NG", "", "NG"},
     {"", "NN", "", "N N"},
@@ -390,12 +400,14 @@ const Rule kRules[] = {
     // first-syllable o before n reduces to ah in the binary (money/honey,
     // with o-n-e, and word-initial on/only are the exceptions)
     {"#C", "O", "N", "AA1"},    // conn, condoms, congruence
+    {"#", "ONE", "", "W AH1 N"},  // one, oneill, onex
     {"#", "O", "NLY", "OW1"},   // only
     {"#:^", "O", "N^", "AH1"},  // monday, wonder, month, honda
     {"#:^", "O", "N#", "AH1"},  // non
     {"#:^", "O", "NI", "AH1"},  // sonic, monitor, chronicled
     {"#:^", "O", "NU", "AH1"},  // bonus
     {"#:^", "O", "NA", "AH1"},  // donar, monaghan, sonata
+    {"#:^", "O", "NO", "AH1"},  // sonoma, honor
     {"", "O", "H$", "OW1"},     // coherence, cohen
     {"Y^", "O", "N#", "AH1"},   // tyson, bryson
     {"Y^", "O", "NS#", "AH1"},  // nylons
@@ -410,7 +422,7 @@ const Rule kRules[] = {
     // first-syllable open o: long before e (model, hotel, moment,
     // closeness), after c always (society, locally), and before d/l+i
     // (bodies, nolie); the rest stay aa (coda, gogo, total, mosiman)
-    {"#:^", "O", "C", "OW1"},
+    {"#:^", "O", "C$", "OW1"},  // c + vowel only (spock/knoch stay aa)
     {"#:^", "O", "^E", "OW1"},
     {"#:^", "O", "DI", "OW1"},
     {"#:^", "O", "LI", "OW1"},
@@ -454,6 +466,7 @@ const Rule kRules[] = {
     {"", "SURE", "#", "ZH ER0"},  // lesure, composure (non-initial)
     // final s after the word's only (leading) vowel cluster voices when
     // that cluster is headed by a: gas/has/pais/bias -> z, atlas/texas -> s
+    {"YE", "S", "#", "S"},      // hayes, kayes (the sounded aye e)
     {"#:A", "S", "#", "Z"},
     {"#:&A", "S", "#", "Z"},
     {"#:AI", "S", "#", "Z"},
@@ -510,6 +523,7 @@ const Rule kRules[] = {
     {"C", "URE", "#", "Y UH1 R"},  // cure, secure, obscure
     {"", "URE", "#", "UH1 R"},    // lure, endure, inure
     {"D", "U", "R$", "UH1"},      // during (no yod after d)
+    {"CH", "U", "R$", "UH1"},     // brochure(s)
     {"", "U", "R$", "Y UH1"},     // curious, furious (r+vowel)
     {"", "UR", "", "ER1"},
     {"L", "UE", "#", "UW1"},    // blue
@@ -532,6 +546,7 @@ const Rule kRules[] = {
     {"T", "U", "^%#", "UW1"},
     {"N", "U", "^%#", "UW1"},
     {"S", "U", "^%#", "UW1"},
+    {"Z", "U", "^%#", "UW1"},   // zuver
     {"D", "U", "^%#", "UW1"},   // dunes, dude (no yod after d)
     {"", "U", "^%#", "Y UW1"},
     {"R", "U", "$", "UW1"},     // accruals, ruin
@@ -541,10 +556,13 @@ const Rule kRules[] = {
     {"T", "U", "^$", "UW1"},
     {"N", "U", "^$", "UW1"},
     {"S", "U", "^$", "UW1"},    // sugar, susumu, super (no yod after s)
+    {"Z", "U", "^$", "UW1"},    // zuba
+    {"CH", "U", "^$", "UW1"},   // chula
     {"D", "U", "^$", "UW1"},    // duty
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
     // u in hiatus (before another vowel): yod unless the consonant before
     // drops it (suit, juice, fluid vs capua, january, chihuahua)
+    {"CH", "U", "$", "UW1"},    // chuan
     {"S", "U", "$", "UW1"},
     {"J", "U", "$", "UW1"},
     {"L", "U", "$", "UW1"},
