@@ -203,10 +203,13 @@ def _proto(n_states: int = 3) -> str:
     return "\n".join(lines) + "\n"
 
 
-def run_htk(utts, lexicon, workdir: str, n_herest: int = 8):
+def run_htk(utts, lexicon, workdir: str, n_herest: int = 8,
+            transcripts: dict | None = None):
     """Flat-start HTK monophone training + forced alignment.
 
-    Returns {uid: [(phone, start_sec, end_sec), ...]}.
+    ``transcripts`` optionally overrides the phone sequence per uid
+    (default: sil + lexicon phones + sil, to_phones).  Returns
+    {uid: [(phone, start_sec, end_sec), ...]}.
     """
     import wave as wavemod
 
@@ -216,8 +219,13 @@ def run_htk(utts, lexicon, workdir: str, n_herest: int = 8):
     with open(cfg, "w") as f:
         f.write(HTK_CONFIG)
 
-    phones = sorted({p for _, _, ws in utts
-                     for p in to_phones(ws, lexicon)})
+    def phones_of(uid, words):
+        if transcripts and uid in transcripts:
+            return transcripts[uid]
+        return to_phones(words, lexicon)
+
+    phones = sorted({p for uid, _, ws in utts
+                     for p in phones_of(uid, ws)})
     with open(os.path.join(d, "monophones"), "w") as f:
         f.write("\n".join(phones) + "\n")
     # phone-level dict (phone "words" map to themselves)
@@ -250,7 +258,7 @@ def run_htk(utts, lexicon, workdir: str, n_herest: int = 8):
         f.write("#!MLF!#\n")
         for uid, _, words in utts:
             f.write(f'"*/{uid}.lab"\n')
-            f.write("\n".join(to_phones(words, lexicon)))
+            f.write("\n".join(phones_of(uid, words)))
             f.write("\n.\n")
 
     # flat start
@@ -371,6 +379,39 @@ def compare(utts, lexicon, htk_out, aligner):
     return np.asarray(diffs), per_utt, endpoint
 
 
+def build_splice_trials(utts, seed=0, zero_gap_prob: float = 0.0,
+                        n_trials: int = 6):
+    """Construct the ground-truth splices: energy-trimmed single-word
+    recordings re-joined with known gaps.  Returns a list of
+    (wav, words, true_onset_seconds)."""
+    rng = np.random.default_rng(seed)
+    single = [(uid, wav, words) for uid, wav, words in utts
+              if len(words) == 1]
+    segments = []
+    for uid, wav, words in single:
+        t_on, t_off = energy_endpoints(wav)
+        seg = wav[int(t_on * 16000): int(t_off * 16000)]
+        segments.append((words[0], seg))
+
+    trials = []
+    for trial in range(n_trials):
+        order = rng.permutation(len(segments))
+        gap = rng.uniform(0.15, 0.4)
+        lead = np.zeros(int(gap * 16000), np.float32)
+        pieces, words, true_onsets = [lead], [], []
+        t = len(lead)
+        for j in order:
+            word, seg = segments[j]
+            true_onsets.append(t / 16000.0)
+            g = 0.0 if rng.uniform() < zero_gap_prob else gap
+            sil = np.zeros(int(g * 16000), np.float32)
+            pieces += [seg, sil]
+            words.append(word)
+            t += len(seg) + len(sil)
+        trials.append((np.concatenate(pieces), words, true_onsets))
+    return trials
+
+
 def splice_eval(utts, lexicon, aligner, htk_dir_utts=None, seed=0,
                 zero_gap_prob: float = 0.0, optional_sil: bool = False):
     """Exact-ground-truth word-boundary test on real speech.
@@ -387,32 +428,9 @@ def splice_eval(utts, lexicon, aligner, htk_dir_utts=None, seed=0,
     inter-word sil), which handles both cases.  Returns onset-error
     stats in ms.
     """
-    rng = np.random.default_rng(seed)
-    single = [(uid, wav, words) for uid, wav, words in utts
-              if len(words) == 1]
-    segments = []
-    for uid, wav, words in single:
-        t_on, t_off = energy_endpoints(wav)
-        seg = wav[int(t_on * 16000): int(t_off * 16000)]
-        segments.append((words[0], seg))
-
     errors = []
-    for trial in range(6):
-        order = rng.permutation(len(segments))
-        gap = rng.uniform(0.15, 0.4)
-        lead = np.zeros(int(gap * 16000), np.float32)
-        pieces, words, true_onsets = [lead], [], []
-        t = len(lead)
-        for j in order:
-            word, seg = segments[j]
-            true_onsets.append(t / 16000.0)
-            g = 0.0 if rng.uniform() < zero_gap_prob else gap
-            sil = np.zeros(int(g * 16000), np.float32)
-            pieces += [seg, sil]
-            words.append(word)
-            t += len(seg) + len(sil)
-        wav = np.concatenate(pieces)
-
+    for wav, words, true_onsets in build_splice_trials(
+            utts, seed=seed, zero_gap_prob=zero_gap_prob):
         phones, flags, word_start_idx = ["sil"], [False], []
         for w in words:
             word_start_idx.append(len(phones))
@@ -455,6 +473,12 @@ def main():
                          "real AN4 utterances")
     ap.add_argument("--mix-utts", type=int, default=600)
     ap.add_argument("--htk-iters", type=int, default=8)
+    ap.add_argument("--htk-splice", action="store_true",
+                    help="ground-truth splice eval of HTK itself: train "
+                         "the HTK flat-start system on an4 (+ --mix-soak) "
+                         "plus the splice wavs, score its recovered word "
+                         "onsets against the known truth, write "
+                         "HTK_SPLICE.json")
     ap.add_argument("--eval-only", default="",
                     help="path to a trained aligner .bin: skip native+HTK "
                          "training, run the ground-truth splice evals "
@@ -484,6 +508,59 @@ def main():
                 json.dump(report, f, indent=1)
             print(json.dumps(report, indent=1))
             return
+        if args.htk_splice:
+            utts, lexicon = load_an4(workdir)
+            trials = build_splice_trials(utts, seed=0)
+            corpus = list(utts)
+            if args.mix_soak:
+                corpus += load_soak_mix(args.mix_soak, lexicon,
+                                        args.mix_utts)
+            transcripts = {}
+            word_starts = {}  # uid -> [(phone_index, true_onset_s)]
+            for i, (wav, words, onsets) in enumerate(trials):
+                uid = f"splice{i:02d}"
+                phones, starts = ["sil"], []
+                for w in words:
+                    starts.append(len(phones))
+                    phones.extend(p.lower() for p in lexicon[w])
+                    phones.append("sil")  # the known inter-word gap
+                transcripts[uid] = phones
+                word_starts[uid] = list(zip(starts, onsets))
+                corpus.append((uid, wav, words))
+            htk_out = run_htk(corpus, lexicon, workdir,
+                              n_herest=args.htk_iters,
+                              transcripts=transcripts)
+            signed = []
+            for uid, pairs in word_starts.items():
+                aligned = htk_out.get(uid, [])
+                for pi, true_on in pairs:
+                    if pi < len(aligned):
+                        signed.append(
+                            (aligned[pi][1] - true_on) * 1000.0)
+            signed = np.asarray(signed)
+            e = np.abs(signed)
+            report = {
+                "system": "htk flat-start (HCompV+HERest+HVite, the "
+                          "reference's toolchain and flags)",
+                "mixed_soak_utts": args.mix_utts if args.mix_soak else 0,
+                "n_onsets": int(len(e)),
+                "median_ms": float(np.median(e)),
+                "p90_ms": float(np.percentile(e, 90)),
+                "within_30ms_pct": float((e <= 30).mean() * 100),
+                "within_50ms_pct": float((e <= 50).mean() * 100),
+                "median_signed_ms": float(np.median(signed)),
+                "bias_corrected_median_ms": float(
+                    np.median(np.abs(signed - np.median(signed)))),
+                "bias_corrected_p90_ms": float(
+                    np.percentile(np.abs(signed - np.median(signed)), 90)),
+            }
+            out = os.path.join(args.out, "HTK_SPLICE.json")
+            os.makedirs(args.out, exist_ok=True)
+            with open(out, "w") as f:
+                json.dump(report, f, indent=1)
+            print(json.dumps(report, indent=1))
+            return
+
         utts, lexicon = load_an4(workdir)
         real_utts = list(utts)
         if args.mix_soak:
