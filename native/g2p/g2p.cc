@@ -237,6 +237,8 @@ const Rule kRules[] = {
                                 // silent before t/# — caught, laugh)
     {"", "GH", "", ""},
     {"BE", "G", "", "G"},       // begin, begets (hard g)
+    {"", "G", "ET", "G"},       // target, budget, forget, together
+    {"", "G", "IV", "G"},       // giver, forgiven, salsgiver
     {"#", "G", "IA", "JH"},     // giant
     {"#", "G", "IU", "JH"},     // giuliani, giusti
     {"#", "G", "I$", "JH"},     // giel, giordani (gi + vowel)
@@ -255,8 +257,8 @@ const Rule kRules[] = {
     {"", "H", "$", "HH"},  // intervocalic h sounds (behold, ahead)
     {"", "H", "", "HH"},
     // --- I ---
-    {"", "IU", "M#", "IH0 AH0"},  // rhodium, plasmodium
-    {"", "IU", "S#", "IH0 AH0"},  // vesuvius, pocius
+    {"", "IU", "M", "IH0 AH0"},  // rhodium, symposiums, triumph
+    {"", "IU", "S", "IH0 AH0"},  // vesuvius, pocius
     {"", "IU", "", "IH0 Y UW1"},  // liu, giuliani
     {"", "IGH", "", "AY1"},
     {"", "I", "QUE#", "IY1"},   // antique, unique
@@ -295,9 +297,12 @@ const Rule kRules[] = {
     {"#", "I", "V$", "IH1"},    // ivan, ivor (the binary keeps these short)
     {"#", "I", "N$", "IH1"},    // inequity (in- prefix over a vowel)
     {"#", "I", "L$", "IH1"},    // iliescu
+    {"#", "I", "G$", "IH1"},    // igoe, igou
+    {"#", "I", "SO", "IH1"},    // ison (isis stays long)
     {"#", "I", "M$", "IH1"},    // image, imagine, imogene
     {"#", "I", "D$", "IH1"},    // idea
     {"#", "I", "RE", "IH1"},    // irene (iris/iron stay long below)
+    {"G", "I", "VE", "IH1"},    // giver, forgiven (the g+iv stem)
     {"#", "I", "^$", "AY1"},    // item, isis
     {"", "I", "R$", "AY1"},     // quiroz, i before r+vowel
     {"", "IR", "", "ER1"},
@@ -317,11 +322,13 @@ const Rule kRules[] = {
     {"", "K", "", "K"},
     // --- L ---
     {"", "LL", "", "L"},
-    {"^", "LE", "#", "AH0 L"},  // syllabic -le (able, table)
-    {"^", "LES", "#", "AH0 L Z"},     // riddles
-    {"^", "LER", "#", "AH0 L ER0"},   // angler, mechler, stemmler
-    {"^", "LEY", "#", "AH0 L IH0"},   // stabley
-    {"^", "LING", "#", "AH0 L IH0 NG"},  // swindling
+    // syllabic -le family: only after vowel+consonant — a bare ^ left
+    // context wrongly caught word-initial clusters (cling, bley, flew)
+    {"&:^", "LE", "#", "AH0 L"},  // syllabic -le (able, table)
+    {"&:^", "LES", "#", "AH0 L Z"},     // riddles
+    {"&:^", "LER", "#", "AH0 L ER0"},   // angler, mechler, stemmler
+    {"&:^", "LEY", "#", "AH0 L IH0"},   // stabley
+    {"&:^", "LING", "#", "AH0 L IH0 NG"},  // swindling
     {"", "L", "", "L"},
     // --- M ---
     {"", "MM", "", "M M"},
@@ -529,6 +536,7 @@ const Rule kRules[] = {
     {"L", "UE", "#", "UW1"},    // blue
     {"R", "UE", "#", "UW1"},    // true
     {"D", "UE", "#", "UW1"},    // due
+    {"S", "UE", "#", "UW1"},    // sue
     {"J", "UE", "#", "UW1"},
     {"L", "UE", "S#", "UW1"},   // blues, clues
     {"R", "UE", "S#", "UW1"},   // trues
@@ -557,6 +565,7 @@ const Rule kRules[] = {
     {"N", "U", "^$", "UW1"},
     {"S", "U", "^$", "UW1"},    // sugar, susumu, super (no yod after s)
     {"Z", "U", "^$", "UW1"},    // zuba
+    {"SH", "U", "^$", "UW1"},   // shupert
     {"CH", "U", "^$", "UW1"},   // chula
     {"D", "U", "^$", "UW1"},    // duty
     {"", "U", "^$", "Y UW1"},   // open syllable (music, gumucio)
