@@ -72,6 +72,7 @@ const Rule kRules[] = {
     {"", "A", "RR", "AE1"},     // carrier, barro (RR then collapses)
     {"", "A", "NGE", "EY1"},    // change(r), danger, angel, anger — the
                                 // binary says ey for every a+nge
+    {"", "A", "NY", "EH1"},     // any, many, sanyo
     {"W", "A", "R", "AO1"},     // war(m), ware, aware, wary, warehouse
     {"", "A", "R$", "EH1"},     // tara, a before r+vowel
     {"#:", "A", "RY#", "EY1"},  // gary, mary (magic y across r; polysyllabic
@@ -193,6 +194,7 @@ const Rule kRules[] = {
     {"#", "EAR", "", "ER1"},    // earn, early, earth (word-initial)
     {"", "EAR", "N", "ER1"},    // learn, mearns
     {"", "EAR", "", "IY1 R"},
+    {"", "EER", "", "IY1 R"},   // engineer, career, beer
     {"", "EE", "", "IY1"},
     {"", "EAU", "#", "IY1 Y UW1"},  // beau, plateau, bibeau, rambeau
     {"", "EA", "SUR", "EH1"},   // measure, pleasure, treasure
@@ -283,6 +285,7 @@ const Rule kRules[] = {
     {"", "I", "ER#", "IY0"},    // heavier, earlier, soldier, brier
     {"", "I", "ER$", "IY0"},    // fiero, carriere, premieres
     {"", "I", "ERS#", "IY0"},   // carriers
+    {"", "I", "^ERS#", "AY1"},  // diners, miners, rivers (magic over -ers)
     {"", "I", "EN", "IY1"},     // friend, audience, orient
     {"", "I", "EV", "IY1"},     // believe, achieve
     {"", "I", "E^", "AY1"},     // field, piece, diet, diesel, soviet
@@ -290,6 +293,7 @@ const Rule kRules[] = {
     {"&:^", "IVE", "", "IH0 V"},   // alive, derives, active
     {"#G", "IVE", "#", "IH1 V"},   // give
     {"#G", "IVE", "S#", "IH1 V"},  // gives
+    {"&:^", "IN", "EE", "IH0 N"},  // engineer (keep ee for the iy r)
     {"&:^", "INE", "", "IH0 N"},   // define, machine, engine
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
@@ -433,6 +437,7 @@ const Rule kRules[] = {
     {"#:^", "O", "^E", "OW1"},
     {"#:^", "O", "DI", "OW1"},
     {"#:^", "O", "LI", "OW1"},
+    {"#:^", "O", "BI", "OW1"},  // gobie
     {"", "O", "^EY#", "OW1"},   // lokey, dopey
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"T", "O", "#", "UW1"},     // tomato, photo, cato
@@ -601,6 +606,7 @@ const Rule kRules[] = {
     {"#", "Y", "", "Y"},
     {"#:^", "Y", "#", "AY1"},   // monosyllables: my, try, why, sky
     {"#:^", "Y", "$", "AY1"},   // tryout (y + vowel in the first syllable)
+    {"N", "Y", "$", "IY0"},     // sanyo, canyon (y glides after n)
     {"", "Y", "#", "IY0"},
     {"", "Y", "ING#", "IY0"},   // quarrying, studying
     {"", "Y", "RI", "IH1"},     // syria, syringe stay short (myron, tyrant,
