@@ -116,13 +116,32 @@ def main():
     ap.add_argument("--out", default="docs/G2P_EVAL.json")
     ap.add_argument("--dump-misses", type=int, default=0,
                     help="print the N worst native-vs-binary disagreements")
+    ap.add_argument("--full", action="store_true",
+                    help="census mode: run the ENTIRE dictionary through "
+                         "both engines (no sampling error; ~2 min); "
+                         "writes docs/G2P_FULL.json unless --out is given")
     args = ap.parse_args()
 
     from a3t_tpu.text.native_g2p import letter_to_sound as native_g2p
 
-    cmu = sample_words(args.n_words, args.seed)
+    if args.full:
+        from a3t_tpu.text.lexicon import load_cmu_dict
+
+        lex = load_cmu_dict(REF_DICT)
+        all_words = sorted(w for w in lex if w.isalpha() and w.isascii()
+                           and 2 <= len(w) <= 16)
+        cmu = {w: lex[w] for w in all_words}
+        ref = {}
+        for i in range(0, len(all_words), 5000):
+            ref.update(reference_g2p(all_words[i:i + 5000]))
+        if args.out == "docs/G2P_EVAL.json":
+            args.out = "docs/G2P_FULL.json"
+        args.seed = None
+    else:
+        cmu = sample_words(args.n_words, args.seed)
     words = list(cmu)
-    ref = reference_g2p(words)
+    if not args.full:
+        ref = reference_g2p(words)
     ours = {w: native_g2p(w.lower()) for w in words}
 
     vs_bin = [accuracy(ours[w], ref[w]) for w in words]
