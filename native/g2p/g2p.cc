@@ -48,7 +48,10 @@ const Rule kRules[] = {
     {"&:^", "ABLE", "#", "AH0 B AH0 L"},  // reasonable, capable
     {"&:^", "ABLE", "S#", "AH0 B AH0 L"},  // miserables
     {"", "ABLE", "", "EY1 B AH0 L"},  // tablet, ablest, gabler
-    {"&:^", "AGE", "#", "IH0 JH"},  // savage, village (page keeps EY)
+    {"&:^", "AGE", "#", "IH0 JH"},   // savage, village
+    {"&:^", "AGE", "S#", "IH0 JH"},  // villages
+    {"&:^", "AG", "E^", "IH0 JH"},   // manager, engagement, advantaged —
+                                     // the e stays to sound on its own
     {"U", "AGE", "#", "IH0 JH"},    // language
     {"&:^", "AL", "#", "AH0 L"},    // monsoonal, total
     {"", "ALK", "", "AO1 K"},   // talk, walk, falkner (binary drops the l
@@ -62,6 +65,8 @@ const Rule kRules[] = {
     {"#", "A", "LL", "AO1"},    // ally, allen (before the AL^ rule)
     {"#", "AL", "#", "AH0 L"},
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
+    {"&:^", "A", "LLY#", "AH0"},  // abnormally, academically (-ally
+                                  // reduces off the first syllable)
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
     {"", "A", "L^", "AO1"},     // salt, calm, half, bald — the binary says
                                 // ao for a+l+consonant everywhere (italy,
@@ -97,6 +102,7 @@ const Rule kRules[] = {
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
     {"", "A", "^EY#", "EY1"},   // paley, maley
     {"", "A", "GE", "EY1"},     // bagel (agent/garage paths fire above)
+    {"#", "A", "CE", "AH0"},    // acerbic, acero (word-initial)
     {"", "A", "CE", "EY1"},     // macek, palace-family
     {"", "A", "KE", "EY1"},     // aken, make-family
     {"", "A", "XI", "EY1"},     // taxi(ed)
@@ -151,6 +157,8 @@ const Rule kRules[] = {
     {"#:^E", "D", "#", "D"},
     {"", "D", "", "D"},
     // --- E ---
+    {"#:^Y^", "E", "#", "IY0"},   // byte, style, pryde, fyke
+    {"#:^Y^^", "E", "#", "IY0"},  // cycle
     {"#:", "E", "#", ""},
     {"^", "E", "#", ""},  // silent final e
     {"GU", "E", "#", ""},  // silent final e after gu (vague, argue)
@@ -232,7 +240,10 @@ const Rule kRules[] = {
     {"", "FF", "", "F F"},
     {"", "F", "", "F"},
     // --- G ---
-    {"", "GU", "$", "G"},       // silent u: guess, guide, vague, argue
+    {"#", "GU", "$", "G"},      // silent u word-initially: guess, guide,
+                                // guard, guatemala
+    {"", "GU", "+", "G"},       // vague, argue, silent before front vowels
+    {"", "GU", "$", "G W"},     // agua, iguana, jaguar (mid gu+a glides)
     {"", "GG", "", "G"},
     {"#", "GH", "", "G HH"},    // ghost, ghetto (the binary sounds both)
     {"", "GH", "$", "G HH"},    // baugher, mcghie (sounded before a vowel;
@@ -249,6 +260,7 @@ const Rule kRules[] = {
     {"", "G", "", "G"},
     // --- H ---
     {"#", "HOUR", "", "AW1 ER0"},  // hour(ly), hourlong (silent h)
+    {"#", "HAVE", "", "HH AE1 V"},   // have, haves (exception to a+ve ey)
     {"#", "H", "Y", ""},           // hyson, hyperbole (the binary's
                                    // word-initial hy drops the h)
     {"#", "HW", "", "W"},  // hwa
@@ -286,6 +298,8 @@ const Rule kRules[] = {
     {"", "I", "ER$", "IY0"},    // fiero, carriere, premieres
     {"", "I", "ERS#", "IY0"},   // carriers
     {"", "I", "^ERS#", "AY1"},  // diners, miners, rivers (magic over -ers)
+    {"&:", "I", "ESC", "IY1"},  // acquiesce, adolescent
+    {"&:", "I", "EL", "IY1"},   // abbatiello (giel/field stay long)
     {"", "I", "EN", "IY1"},     // friend, audience, orient
     {"", "I", "EV", "IY1"},     // believe, achieve
     {"", "I", "E^", "AY1"},     // field, piece, diet, diesel, soviet
@@ -295,6 +309,11 @@ const Rule kRules[] = {
     {"#G", "IVE", "S#", "IH1 V"},  // gives
     {"&:^", "IN", "EE", "IH0 N"},  // engineer (keep ee for the iy r)
     {"&:^", "INE", "", "IH0 N"},   // define, machine, engine
+    {"&:", "I", "VE#", "IH1"},   // survive, arrive, alive
+    {"&:", "I", "VES#", "IH1"},  // survives
+    {"&:", "I", "CE#", "IH1"},   // advice, office, practice, notice
+    {"&:", "I", "CES#", "IH1"},  // offices
+    {"$", "I", "^Y#", "AY1"},    // acuity, inequity (vowel hiatus before)
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
@@ -325,13 +344,15 @@ const Rule kRules[] = {
     {"", "KK", "", "K K"},
     {"", "K", "", "K"},
     // --- L ---
+    {"OW", "L", "$", "AH0 L"},  // acknowledge, rowley, bowling — the
+                                // binary inserts a schwa after ow/aw + l
     {"", "LL", "", "L"},
     // syllabic -le family: only after vowel+consonant — a bare ^ left
     // context wrongly caught word-initial clusters (cling, bley, flew)
     {"&:^", "LE", "#", "AH0 L"},  // syllabic -le (able, table)
     {"&:^", "LES", "#", "AH0 L Z"},     // riddles
     {"&:^", "LER", "#", "AH0 L ER0"},   // angler, mechler, stemmler
-    {"&:^", "LEY", "#", "AH0 L IH0"},   // stabley
+    {"&:^", "LEY", "#", "AH0 L IY0"},   // stabley, ackerley
     {"&:^", "LING", "#", "AH0 L IH0 NG"},  // swindling
     {"", "L", "", "L"},
     // --- M ---
@@ -416,8 +437,11 @@ const Rule kRules[] = {
     {"#:^", "O", "N^", "AH1"},  // monday, wonder, month, honda
     {"#:^", "O", "N#", "AH1"},  // non
     {"#:^", "O", "NI", "AH1"},  // sonic, monitor, chronicled
+    {"&:^", "O", "NI", "OW1"},  // acrimonious, begonia (later syllables
+                                // go long in the binary)
     {"#:^", "O", "NU", "AH1"},  // bonus
     {"#:^", "O", "NA", "AH1"},  // donar, monaghan, sonata
+    {"&:^", "O", "MI", "AH1"},  // abdominal, abominable (non-initial)
     {"#:^", "O", "NO", "AH1"},  // sonoma, honor
     {"", "O", "H$", "OW1"},     // coherence, cohen
     {"Y^", "O", "N#", "AH1"},   // tyson, bryson
@@ -433,11 +457,11 @@ const Rule kRules[] = {
     // first-syllable open o: long before e (model, hotel, moment,
     // closeness), after c always (society, locally), and before d/l+i
     // (bodies, nolie); the rest stay aa (coda, gogo, total, mosiman)
-    {"#:^", "O", "C$", "OW1"},  // c + vowel only (spock/knoch stay aa)
-    {"#:^", "O", "^E", "OW1"},
+    {"#:^", "O", "C$", "OW1"},    // c + vowel only (spock/knoch stay aa)
+    {"^", "O", "^E", "OW1"},
     {"#:^", "O", "DI", "OW1"},
     {"#:^", "O", "LI", "OW1"},
-    {"#:^", "O", "BI", "OW1"},  // gobie
+    {"#:^", "O", "BI", "OW1"},  // gobie (aerobic-family stays aa)
     {"", "O", "^EY#", "OW1"},   // lokey, dopey
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"T", "O", "#", "UW1"},     // tomato, photo, cato
@@ -462,7 +486,8 @@ const Rule kRules[] = {
     {"", "R", "", "R"},
     // --- S ---
     {"", "SCH", "#", "S CH"},   // fisch, masch, kusch (word-final only)
-    {"", "SCH", "", "S K"},     // the binary's sch (schwinn -> S K W)
+    {"#", "SCH", "", "S K"},    // school, scheme, schwinn -> S K W
+    {"", "SCH", "", "S CH"},    // anschutz, porsche, mischief (mid-word)
     {"", "SH", "", "SH"},
     {"", "SCIA", "", "SH AH0"},   // coscia
     {"#", "SCI", "$", "S AY1"},   // science, scientist
@@ -479,6 +504,9 @@ const Rule kRules[] = {
     // final s after the word's only (leading) vowel cluster voices when
     // that cluster is headed by a: gas/has/pais/bias -> z, atlas/texas -> s
     {"YE", "S", "#", "S"},      // hayes, kayes (the sounded aye e)
+    {"EE", "S", "#", "S"},      // absentees, abductees
+    {"&:IE", "S", "#", "S"},    // accuracies, agencies (dies/ties stay z)
+    {"UE", "S", "#", "S"},      // accrues
     {"#:A", "S", "#", "Z"},
     {"#:&A", "S", "#", "Z"},
     {"#:AI", "S", "#", "Z"},
@@ -535,6 +563,7 @@ const Rule kRules[] = {
     {"C", "URE", "#", "Y UH1 R"},  // cure, secure, obscure
     {"", "URE", "#", "UH1 R"},    // lure, endure, inure
     {"D", "U", "R$", "UH1"},      // during (no yod after d)
+    {"L", "U", "R$", "UH1"},      // allured, alluring
     {"CH", "U", "R$", "UH1"},     // brochure(s)
     {"", "U", "R$", "Y UH1"},     // curious, furious (r+vowel)
     {"", "UR", "", "ER1"},
@@ -577,6 +606,7 @@ const Rule kRules[] = {
     // u in hiatus (before another vowel): yod unless the consonant before
     // drops it (suit, juice, fluid vs capua, january, chihuahua)
     {"CH", "U", "$", "UW1"},    // chuan
+    {"NN", "U", "$", "UW1"},    // annual (january keeps the yod)
     {"S", "U", "$", "UW1"},
     {"J", "U", "$", "UW1"},
     {"L", "U", "$", "UW1"},
@@ -611,6 +641,7 @@ const Rule kRules[] = {
     {"", "Y", "ING#", "IY0"},   // quarrying, studying
     {"", "Y", "RI", "IH1"},     // syria, syringe stay short (myron, tyrant,
                                 // syrup go long via the open-syllable rule)
+    {"&:", "Y", "^E#", "IH1"},  // acolyte, analyze, paralyze
     {"", "YRE", "#", "AY1 R IY0"},  // tyre, smyre (the binary sounds
                                     // the final e)
     {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
