@@ -45,6 +45,7 @@ bool is_voiced(char c) {
 const Rule kRules[] = {
     // --- A ---
     {"", "ATION", "#", "EY1 SH AH0 N"},  // nation, alteration
+    {"", "ATION", "S#", "EY1 SH AH0 N"},  // abbreviations, aberrations
     {"&:^", "ABLE", "#", "AH0 B AH0 L"},  // reasonable, capable
     {"&:^", "ABLE", "S#", "AH0 B AH0 L"},  // miserables
     {"", "ABLE", "", "EY1 B AH0 L"},  // tablet, ablest, gabler
@@ -96,9 +97,12 @@ const Rule kRules[] = {
                                 // far, car, star — and, binary quirk,
                                 // plural -ars keep AA R)
     {"", "AR", "", "AA1 R"},
+    {"", "A", "^E:#", "EY1"},   // abel, abell, label: long when the e is
+                                // the last vowel (abela keeps ae)
     {"", "A", "^LE#", "EY1"},   // table, cable, stable (magic over -le)
     {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"", "A", "^I#", "EY1"},
+    {"", "A", "^IO", "EY1"},    // abio, radio-family
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
     {"", "A", "^EY#", "EY1"},   // paley, maley
     {"", "A", "GE", "EY1"},     // bagel (agent/garage paths fire above)
@@ -308,12 +312,20 @@ const Rule kRules[] = {
     {"#G", "IVE", "#", "IH1 V"},   // give
     {"#G", "IVE", "S#", "IH1 V"},  // gives
     {"&:^", "IN", "EE", "IH0 N"},  // engineer (keep ee for the iy r)
+    {"&:^", "IN", "E^", "IH0 N"},  // airliner, abstinence, recliner —
+                                   // the e stays to sound (er/eh)
     {"&:^", "INE", "", "IH0 N"},   // define, machine, engine
     {"&:", "I", "VE#", "IH1"},   // survive, arrive, alive
     {"&:", "I", "VES#", "IH1"},  // survives
     {"&:", "I", "CE#", "IH1"},   // advice, office, practice, notice
     {"&:", "I", "CES#", "IH1"},  // offices
     {"$", "I", "^Y#", "AY1"},    // acuity, inequity (vowel hiatus before)
+    {"&:", "I", "TED#", "IH1"},  // accredited (acquired/advised keep ay)
+    {"&:", "I", "TING#", "IH1"}, // accrediting, auditing
+    {"&:", "I", "X", "IH1"},     // affixes, prefix
+    {"", "I", "ME:#", "IH1"},    // accompaniment (m blocks the long i)
+    {"", "I", "^E:#", "AY1"},    // accident, advisedly-stem: long when the
+                                 // e is the word's last vowel
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
@@ -346,10 +358,13 @@ const Rule kRules[] = {
     // --- L ---
     {"OW", "L", "$", "AH0 L"},  // acknowledge, rowley, bowling — the
                                 // binary inserts a schwa after ow/aw + l
+    {"DD", "L", "$", "AH0 L"},  // addleman (doubled stop + l mid-word)
+    {"FF", "L", "$", "AH0 L"},  // affleck
     {"", "LL", "", "L"},
     // syllabic -le family: only after vowel+consonant — a bare ^ left
     // context wrongly caught word-initial clusters (cling, bley, flew)
     {"&:^", "LE", "#", "AH0 L"},  // syllabic -le (able, table)
+    {"&:^", "LE", "D#", "AH0 L"},  // addled, muzzled
     {"&:^", "LES", "#", "AH0 L Z"},     // riddles
     {"&:^", "LER", "#", "AH0 L ER0"},   // angler, mechler, stemmler
     {"&:^", "LEY", "#", "AH0 L IY0"},   // stabley, ackerley
@@ -365,6 +380,7 @@ const Rule kRules[] = {
     {"E", "NG", "+", "N JH"},   // avenger, engel
     {"", "NG", "$", "NG G"},    // dischinger, goetzinger
     {"", "NG", "LY#", "NG"},    // shockingly, willingly (-ly suffix)
+    {"", "NGLER", "", "NG G AH0 L ER0"},  // angler(s)
     {"", "NGLE", "^", "NG G AH0 L"},  // bunglers, tanglewood, singley
     {"", "NG", "L", "NG G"},    // angle, single, jungle, tanglewood
     {"", "NG", "", "NG"},
@@ -642,9 +658,12 @@ const Rule kRules[] = {
     {"", "Y", "RI", "IH1"},     // syria, syringe stay short (myron, tyrant,
                                 // syrup go long via the open-syllable rule)
     {"&:", "Y", "^E#", "IH1"},  // acolyte, analyze, paralyze
+    {"&:", "Y", "^ES#", "IH1"}, // acolytes, analyzes
     {"", "YRE", "#", "AY1 R IY0"},  // tyre, smyre (the binary sounds
                                     // the final e)
     {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
+    {"&:", "Y", "^$", "IH1"},   // acrylic, aerodynamic (mid-word y short
+                                // before an open syllable)
     {"", "Y", "^$", "AY1"},     // tyson, nylons, pyxis
     {"", "Y", "", "IH1"},
     // --- Z ---
