@@ -315,17 +315,29 @@ const Rule kRules[] = {
     {"&:^", "IN", "E^", "IH0 N"},  // airliner, abstinence, recliner —
                                    // the e stays to sound (er/eh)
     {"&:^", "INE", "", "IH0 N"},   // define, machine, engine
-    {"&:", "I", "VE#", "IH1"},   // survive, arrive, alive
-    {"&:", "I", "VES#", "IH1"},  // survives
-    {"&:", "I", "CE#", "IH1"},   // advice, office, practice, notice
-    {"&:", "I", "CES#", "IH1"},  // offices
+    {"&:", "I", "DE#", "AY1"},   // inside, decide (d/s/t keep long i)
+    {"&:", "I", "DES#", "AY1"},
+    {"&:", "I", "SE#", "AY1"},   // precise, promise, advise
+    {"&:", "I", "SES#", "AY1"},
+    {"&:", "I", "TE#", "AY1"},   // polite, invite, despite
+    {"&:", "I", "TES#", "AY1"},
+    {"&:", "I", "RE#", "AY1"},   // acquire, admire, abshire
+    {"&:", "I", "RES#", "AY1"},
+    {"&:", "I", "RED#", "AY1"},
+    {"&:", "I", "ZE#", "AY1"},   // accessorize, actualize
+    {"&:", "I", "ZES#", "AY1"},
+    {"&:", "I", "ZED#", "AY1"},
+    {"&:", "I", "^E#", "IH1"},   // survive, advice, agile, afterlife,
+                                 // airstrike — mid-word i reduces before
+                                 // a silent final e
+    {"&:", "I", "^ES#", "IH1"},  // offices, survives
     {"$", "I", "^Y#", "AY1"},    // acuity, inequity (vowel hiatus before)
     {"&:", "I", "TED#", "IH1"},  // accredited (acquired/advised keep ay)
     {"&:", "I", "TING#", "IH1"}, // accrediting, auditing
     {"&:", "I", "X", "IH1"},     // affixes, prefix
     {"", "I", "ME:#", "IH1"},    // accompaniment (m blocks the long i)
-    {"", "I", "^E:#", "AY1"},    // accident, advisedly-stem: long when the
-                                 // e is the word's last vowel
+    {"", "I", "^E:#", "AY1"},    // accident: long when the e is the last
+                                 // vowel
     {"", "IRE", "#", "AY1 R"},  // fire, admire
     {"", "IRE", "S#", "AY1 R"},
     {"", "IRE", "D#", "AY1 R"},
@@ -358,8 +370,11 @@ const Rule kRules[] = {
     // --- L ---
     {"OW", "L", "$", "AH0 L"},  // acknowledge, rowley, bowling — the
                                 // binary inserts a schwa after ow/aw + l
-    {"DD", "L", "$", "AH0 L"},  // addleman (doubled stop + l mid-word)
-    {"FF", "L", "$", "AH0 L"},  // affleck
+    {"DD", "L", "E", "AH0 L"},  // addleman (doubled stop + l mid-word)
+    {"FF", "L", "E", "AH0 L"},  // affleck (afflict keeps the cluster)
+    {"M", "L", "E", "AH0 L"},   // aimless
+    {"H", "L", "E", "AH0 L"},   // ahlen, ahlers
+    {"K", "L", "E", "AH0 L"},   // anklet, anklebone
     {"", "LL", "", "L"},
     // syllabic -le family: only after vowel+consonant — a bare ^ left
     // context wrongly caught word-initial clusters (cling, bley, flew)
@@ -659,6 +674,7 @@ const Rule kRules[] = {
                                 // syrup go long via the open-syllable rule)
     {"&:", "Y", "^E#", "IH1"},  // acolyte, analyze, paralyze
     {"&:", "Y", "^ES#", "IH1"}, // acolytes, analyzes
+    {"&:", "Y", "^ED#", "IH1"}, // analyzed, paralyzed
     {"", "YRE", "#", "AY1 R IY0"},  // tyre, smyre (the binary sounds
                                     // the final e)
     {"", "Y", "^%#", "AY1"},    // lyde, style (magic e)
