@@ -375,6 +375,8 @@ const Rule kRules[] = {
     {"M", "L", "E", "AH0 L"},   // aimless
     {"H", "L", "E", "AH0 L"},   // ahlen, ahlers
     {"K", "L", "E", "AH0 L"},   // anklet, anklebone
+    {"T", "L", "E", "AH0 L"},   // antlers, atlee-family
+    {"R", "L", "E", "AH0 L"},   // airless, harley, shirlee
     {"", "LL", "", "L"},
     // syllabic -le family: only after vowel+consonant — a bare ^ left
     // context wrongly caught word-initial clusters (cling, bley, flew)
@@ -468,6 +470,7 @@ const Rule kRules[] = {
     {"#:^", "O", "N^", "AH1"},  // monday, wonder, month, honda
     {"#:^", "O", "N#", "AH1"},  // non
     {"#:^", "O", "NI", "AH1"},  // sonic, monitor, chronicled
+    {"&:^", "O", "NIS", "AA1"},  // admonish (stressed)
     {"&:^", "O", "NI", "OW1"},  // acrimonious, begonia (later syllables
                                 // go long in the binary)
     {"#:^", "O", "NU", "AH1"},  // bonus
