@@ -62,6 +62,14 @@ class BatcherConfig:
     # lossless for PCM16-sourced corpora — wavs and record shards both
     # are).  featurize() converts to float on device.
     audio_int16: bool = True
+    # device-resident corpus: ship only per-utt sample offsets into an
+    # HBM-resident flat PCM buffer (RecordDataset.flat_pcm) and gather the
+    # batch on device (train_step.gather_audio) — the batch payload drops
+    # from ~15 MB to ~1 MB, which is the difference between
+    # bandwidth-bound and compute-bound steps on a thin host<->device
+    # link.  Bit-identical to the host path (gather + zero-mask beyond
+    # each utterance's length).  Requires a dataset with global_offset().
+    device_audio: bool = False
 
 
 class BucketBatcher:
@@ -178,8 +186,15 @@ class BucketBatcher:
             self._loader is not None
             or hasattr(self.dataset, "get_pcm16")
         )
-        audio = np.zeros(
-            (b, spec.n_samples), np.int16 if pcm16_direct else np.float32)
+        device_audio = cfg.device_audio and hasattr(
+            self.dataset, "global_offset")
+        if device_audio:
+            audio_offset = np.zeros(b, np.int32)
+            audio = None
+        else:
+            audio = np.zeros(
+                (b, spec.n_samples),
+                np.int16 if pcm16_direct else np.float32)
         audio_lengths = np.zeros(b, np.int32)
         text = np.zeros((b, spec.n_text), np.int32)
         text_mask = np.zeros((b, spec.n_text), bool)
@@ -192,7 +207,7 @@ class BucketBatcher:
                                 (b, 1))
             reduced_lengths = np.zeros(b, np.int32)
 
-        if self._loader is not None and uids:
+        if self._loader is not None and uids and not device_audio:
             # native path: decode the whole batch with the C++ thread pool
             idx = [self._uid_index[u] for u in uids]
             if pcm16_direct:
@@ -203,7 +218,11 @@ class BucketBatcher:
                     idx, spec.n_samples, out=audio[: len(idx)])
 
         for i, uid in enumerate(uids):
-            if self._loader is not None:
+            if device_audio:
+                item = self.dataset.get_meta(uid)
+                audio_offset[i] = self.dataset.global_offset(uid)
+                wav_len = min(self.dataset.num_samples(uid), spec.n_samples)
+            elif self._loader is not None:
                 item = self.dataset.get_meta(uid)
                 n_true = (self._frames[uid] - 1) * hop
                 wav_len = min(n_true, spec.n_samples)
@@ -259,21 +278,24 @@ class BucketBatcher:
 
         # empty slots (batch padding): leave zeros; text_mask all False keeps
         # them out of attention, masked=False keeps them out of the loss.
-        if cfg.audio_int16 and audio.dtype != np.int16:
+        if audio is not None and cfg.audio_int16 and audio.dtype != np.int16:
             # round-to-nearest x32768: exact inverse of the /32768 decode
             # convention (fileio.read_wav, native loader, records) — the
             # int16 codes of PCM16-sourced audio round-trip bit-exactly
             audio = np.clip(np.rint(audio * 32768.0), -32768,
                             32767).astype(np.int16)
         out = dict(
-            audio=audio,
-            audio_lengths=audio_lengths,
             text=text,
             text_mask=text_mask,
             masked_position=masked,
             speech_segment_pos=ssp,
             text_segment_pos=tsp,
         )
+        out["audio_lengths"] = audio_lengths
+        if device_audio:
+            out["audio_offset"] = audio_offset
+        else:
+            out["audio"] = audio
         if cfg.duration_collect:
             out["durations"] = durations
             out["reordered_index"] = reordered

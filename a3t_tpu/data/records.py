@@ -141,6 +141,11 @@ class RecordDataset:
                       dtype="<i2", mode="r")
             for i in range(int(meta["n_shards"]))
         ]
+        # flat-corpus view: global sample offset of each shard's start,
+        # for the device-resident-audio path (train_step.gather_audio)
+        self._shard_base = np.concatenate(
+            [[0], np.cumsum([len(m) for m in self._mm])[:-1]]).astype(
+            np.int64)
         # phone strings (only needed by inference surfaces)
         self._phones: Optional[dict] = None
 
@@ -183,6 +188,35 @@ class RecordDataset:
         i = self._pos[uid]
         lo = int(self._offset[i])
         return self._mm[int(self._shard[i])][lo: lo + int(self._n[i])]
+
+    def global_offset(self, uid: str) -> int:
+        """Sample offset of ``uid`` in the flattened (all-shards) corpus."""
+        i = self._pos[uid]
+        return int(self._shard_base[int(self._shard[i])] + self._offset[i])
+
+    def flat_pcm(self, pad_samples: int = 0) -> np.ndarray:
+        """The whole corpus as one int16 array (+ a zero tail).
+
+        This is the HBM-resident form consumed by the device-audio train
+        path: upload once, then every batch's audio is a vmapped
+        dynamic-slice gather at ``global_offset(uid)`` instead of a
+        host->device transfer.  ``pad_samples`` zeros at the end let the
+        gather window of the last utterance stay in bounds.  int32 batch
+        offsets require the total (incl. pad) to stay below 2**31 samples
+        (~37 h at 16 kHz per buffer); shard the corpus across buffers
+        beyond that.
+        """
+        total = int(sum(len(m) for m in self._mm)) + int(pad_samples)
+        if total >= 2 ** 31:
+            raise ValueError(
+                f"flat corpus of {total} samples overflows int32 offsets; "
+                "split the record dir into multiple corpora")
+        out = np.zeros(total, np.int16)
+        pos = 0
+        for m in self._mm:
+            out[pos: pos + len(m)] = m[:]
+            pos += len(m)
+        return out
 
     def __getitem__(self, uid: str) -> dict:
         out = self.get_meta(uid)

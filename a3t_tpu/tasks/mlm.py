@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from a3t_tpu.data.batcher import BucketBatcher
 from a3t_tpu.data.dataset import A3TDataset
@@ -180,6 +181,22 @@ class MLMTask:
             if valid_batcher else None
         )
 
+        # device-resident corpus (BatcherConfig.device_audio): upload the
+        # flat int16 PCM once; batches then carry offsets only and the
+        # train step gathers audio on device (train_step.gather_audio)
+        corpus = None
+        if (train_batcher is not None and cfg.batcher.device_audio
+                and hasattr(train_batcher.dataset, "flat_pcm")):
+            pad = max(b.n_samples for b in train_batcher.buckets)
+            corpus_np = train_batcher.dataset.flat_pcm(pad_samples=pad)
+            corpus = jnp.asarray(corpus_np)
+            if mesh is not None:
+                corpus = jax.device_put(
+                    corpus, NamedSharding(mesh, P()))
+            logger.info("device-resident corpus: %.0f MB int16 PCM",
+                        corpus_np.nbytes / 1e6)
+            del corpus_np
+
         sample_host = _peek_batch(train_factory)
         sample_fe = fe
         if isinstance(sample_host, tuple):
@@ -189,10 +206,10 @@ class MLMTask:
         state = create_train_state(
             model, tx, featurize(sample_fe, {
                 k: v for k, v in sample.items()
-                if k in ("audio", "audio_lengths", "text", "text_mask",
-                         "masked_position", "speech_segment_pos",
-                         "text_segment_pos")
-            }, use_fused=False),
+                if k in ("audio", "audio_offset", "audio_lengths", "text",
+                         "text_mask", "masked_position",
+                         "speech_segment_pos", "text_segment_pos")
+            }, use_fused=False, corpus=corpus),
             rng=jax.random.PRNGKey(cfg.trainer.seed))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
         logger.info("model params: %.2fM", n_params / 1e6)
@@ -233,12 +250,13 @@ class MLMTask:
         elif cfg.model.duration_predictor_layers > 0:
             from a3t_tpu.train.train_step import make_tts_train_step
 
-            train_step = make_tts_train_step(model, fe, mesh=mesh)
+            train_step = make_tts_train_step(model, fe, mesh=mesh,
+                                             corpus=corpus)
         else:
             train_step = make_train_step(
                 model, fe, mesh=mesh, normalizer=normalizer,
                 use_fused=cfg.use_fused_frontend,
-                speech_only=cfg.speech_only)
+                speech_only=cfg.speech_only, corpus=corpus)
 
         # longformer buckets must be multiples of the half-window
         # (the pad_to_longformer_att_window invariant, collate_fn.py:241-247)

@@ -67,8 +67,32 @@ def create_train_state(model: A3TMLMModel, tx, sample_batch, rng=None) -> TrainS
     )
 
 
+def gather_audio(corpus, batch: dict, hop_length: int):
+    """Assemble the (B, S) audio batch on device from the HBM-resident
+    flat int16 corpus (RecordDataset.flat_pcm).
+
+    The host ships only per-utterance sample offsets (+ lengths); the
+    batch audio is a vmapped dynamic-slice gather, zero-masked beyond
+    each utterance's true length so the result is bit-identical to the
+    host-assembled batch (which zero-pads).  Static slice size S is
+    recovered from the bucket's frame count ((F - 1) * hop, the
+    BucketSpec invariant), so every bucket keeps its one-compile shape.
+    """
+    n_frames = batch["masked_position"].shape[1]
+    n_samples = (n_frames - 1) * hop_length
+    offsets = batch["audio_offset"]
+
+    def one(off):
+        return jax.lax.dynamic_slice(corpus, (off,), (n_samples,))
+
+    audio = jax.vmap(one)(offsets)
+    valid = (jnp.arange(n_samples, dtype=jnp.int32)[None, :]
+             < batch["audio_lengths"][:, None])
+    return jnp.where(valid, audio, jnp.zeros((), audio.dtype))
+
+
 def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
-              use_pallas: bool = False, normalizer=None):
+              use_pallas: bool = False, normalizer=None, corpus=None):
     """Raw-audio batch -> model input batch (all on device, inside jit).
 
     ``use_fused=True`` (default) runs the DFT-as-matmul formulation — two
@@ -76,9 +100,18 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
     explicit Pallas kernel (ops/fused_logmel.py, ``use_pallas=True``)
     computes the same chain bit-identically without materializing the
     linear spectrum in HBM.  ``use_fused=False`` is the rfft reference
-    path.
+    path.  When the batch carries ``audio_offset`` instead of ``audio``
+    (BatcherConfig.device_audio), the waveforms are gathered from the
+    device-resident ``corpus`` buffer first.
     """
-    audio = batch["audio"]
+    if "audio_offset" in batch:
+        if corpus is None:
+            raise ValueError(
+                "batch has audio_offset (device_audio batcher) but no "
+                "corpus buffer was provided to featurize/make_train_step")
+        audio = gather_audio(corpus, batch, frontend.config.hop_length)
+    else:
+        audio = batch["audio"]
     if audio.dtype == jnp.int16:
         # int16 PCM shipped over the host->device link (half the bytes,
         # data/batcher.py audio_int16); dequantize on device
@@ -150,15 +183,23 @@ def make_train_step(
     donate: bool = True,
     normalizer=None,
     use_fused: bool = True,
+    corpus=None,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``corpus`` is the optional device-resident flat int16 PCM buffer
+    (RecordDataset.flat_pcm): batches then carry ``audio_offset`` and the
+    waveforms are gathered on device (see gather_audio).  It is passed to
+    the jitted function as an argument — the same buffer every call, so
+    there is no per-step transfer and no retracing.
+    """
 
     has_duration = model.config.duration_predictor_layers > 0
     seq_sharded = seq_axis_size(mesh) > 1
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, rng, corpus):
         mb = featurize(frontend, batch, use_fused=use_fused,
-                       normalizer=normalizer) \
+                       normalizer=normalizer, corpus=corpus) \
             if frontend is not None else batch
         if seq_sharded:
             mb = constrain_time_sharding(mb, mesh)
@@ -185,10 +226,10 @@ def make_train_step(
         stats["masked_frames"] = mb["masked_position"].sum()
         return loss, (updates["batch_stats"], stats)
 
-    def step_fn(state: TrainState, batch: dict, rng) -> tuple:
+    def step_fn(state: TrainState, batch: dict, rng, corpus=None) -> tuple:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng
+            state.params, state.batch_stats, batch, rng, corpus
         )
         stats["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads, new_stats)
@@ -198,15 +239,20 @@ def make_train_step(
             stats["notfinite_count"] = new_state.opt_state.notfinite_count
         return new_state, stats
 
+    donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-
-    bsharding = batch_sharding(mesh)
-    return jax.jit(
-        step_fn,
-        in_shardings=(None, bsharding, replicated(mesh)),
-        donate_argnums=(0,) if donate else (),
-    )
+        jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
+    else:
+        # the corpus buffer (when used) is replicated: every data-parallel
+        # rank gathers its own batch rows from a full local copy
+        shardings = (None, batch_sharding(mesh), replicated(mesh))
+        if corpus is not None:
+            shardings = shardings + (replicated(mesh),)
+        jitted = jax.jit(step_fn, in_shardings=shardings,
+                         donate_argnums=donate_argnums)
+    if corpus is None:
+        return jitted
+    return lambda state, batch, rng: jitted(state, batch, rng, corpus)
 
 
 def make_tts_train_step(
@@ -214,6 +260,7 @@ def make_tts_train_step(
     frontend: LogMelFrontend,
     mesh=None,
     donate: bool = True,
+    corpus=None,
 ) -> Callable:
     """Train step for the duration-aware TTS variant (ESPnetMLMTTSModel,
     sedit_model.py:454-503): gathers the duration-reduced sequence with the
@@ -222,8 +269,8 @@ def make_tts_train_step(
 
     seq_sharded = seq_axis_size(mesh) > 1
 
-    def loss_fn(params, batch_stats, batch, rng):
-        mb = featurize(frontend, batch)
+    def loss_fn(params, batch_stats, batch, rng, corpus):
+        mb = featurize(frontend, batch, corpus=corpus)
         if seq_sharded:
             # the duration-reduction gather crosses shard boundaries (GSPMD
             # all-gathers the operand), but the conformer stack — where the
@@ -268,20 +315,25 @@ def make_tts_train_step(
         stats = {"loss": loss, "loss_mlm": loss_mlm, "loss_duration": dl}
         return loss, (updates["batch_stats"], stats)
 
-    def step_fn(state: TrainState, batch: dict, rng):
+    def step_fn(state: TrainState, batch: dict, rng, corpus=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng)
+            state.params, state.batch_stats, batch, rng, corpus)
         stats["grad_norm"] = optax.global_norm(grads)
         return state.apply_gradients(grads, new_stats), stats
 
+    donate_argnums = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
-    return jax.jit(
-        step_fn,
-        in_shardings=(None, batch_sharding(mesh), replicated(mesh)),
-        donate_argnums=(0,) if donate else (),
-    )
+        jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
+    else:
+        shardings = (None, batch_sharding(mesh), replicated(mesh))
+        if corpus is not None:
+            shardings = shardings + (replicated(mesh),)
+        jitted = jax.jit(step_fn, in_shardings=shardings,
+                         donate_argnums=donate_argnums)
+    if corpus is None:
+        return jitted
+    return lambda state, batch, rng: jitted(state, batch, rng, corpus)
 
 
 def make_eval_step(model, frontend, mesh=None, speech_only: bool = False,

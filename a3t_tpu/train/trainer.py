@@ -35,8 +35,10 @@ def _batch_weight(batch) -> float:
     tuples from the multi-corpus factory."""
     if isinstance(batch, tuple):
         batch = batch[1]
-    if isinstance(batch, dict) and "audio" in batch:
-        return float(batch["audio"].shape[0])
+    if isinstance(batch, dict):
+        for key in ("audio", "audio_lengths"):
+            if key in batch:
+                return float(batch[key].shape[0])
     return 1.0
 
 
@@ -212,7 +214,8 @@ class Trainer:
         profiling = False
         pending: list = []
         self._last_epoch_steps = 0
-        for it, batch in enumerate(self.train_iter_factory(epoch)):
+        iterator = self.train_iter_factory(epoch)
+        for it, batch in enumerate(iterator):
             if cfg.num_iters_per_epoch is not None and it >= cfg.num_iters_per_epoch:
                 break
             if it < skip_iters:

@@ -176,7 +176,11 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp):
         "batcher": {"batch_bins": args.batch_bins,
                     "bucket_frames": [192, 256, 320, 448],
                     "mlm_prob": 0.8, "mean_phn_span": 8.0,
-                    "mlm_prob_factor": 0.8},
+                    "mlm_prob_factor": 0.8,
+                    # HBM-resident corpus: host ships offsets, the step
+                    # gathers audio on device — on the thin remote-tunnel
+                    # link per-step transfer otherwise bounds throughput
+                    "device_audio": not args.no_device_audio},
         "trainer": {"max_epoch": args.epochs,
                     "num_iters_per_epoch": args.iters_per_epoch,
                     "keep_nbest_models": 5, "log_interval": 50,
@@ -410,6 +414,9 @@ def main():
     ap.add_argument("--iters-per-epoch", type=int, default=100)
     ap.add_argument("--warmup-steps", type=int, default=2000)
     ap.add_argument("--batch-bins", type=int, default=3000000)
+    ap.add_argument("--no-device-audio", action="store_true",
+                    help="ship per-step PCM from host instead of the "
+                         "HBM-resident corpus gather")
     ap.add_argument("--vocoder", default="",
                     help="trained vocoder dir (a3t_tpu.bin.train_vocoder) "
                          "for stage 5; empty = Griffin-Lim fallback")

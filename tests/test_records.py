@@ -132,3 +132,95 @@ def test_pcm16_direct_batches_match_float_roundtrip(packed):
     assert x_d["audio"].dtype == np.int16 and x_f["audio"].dtype == np.int16
     for k in x_d:
         np.testing.assert_array_equal(x_d[k], x_f[k])
+
+
+def test_device_audio_batches_bit_match_host_batches(packed):
+    """device_audio batches (offsets + HBM-resident gather) must reproduce
+    the host-assembled int16 batches bit-exactly: gather_audio slices the
+    flat corpus and zero-masks beyond each utterance's length, which is
+    exactly the host path's zero-padding."""
+    import jax.numpy as jnp
+
+    from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
+    from a3t_tpu.dsp import LogMelConfig
+    from a3t_tpu.train.train_step import featurize, gather_audio
+
+    _, out, conv = packed
+    fe_cfg = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                          n_mels=20, fmin=20, fmax=4000)
+    rec = RecordDataset(out)
+    kw = dict(batch_bins=20 * 64 * 4, bucket_frames=(64, 128, 256),
+              mlm_prob_factor=1.0, use_native_loader=False)
+    b_host = BucketBatcher(rec, fe_cfg, BatcherConfig(**kw))
+    b_dev = BucketBatcher(rec, fe_cfg,
+                          BatcherConfig(device_audio=True, **kw))
+    pad = max(b.n_samples for b in b_dev.buckets)
+    corpus = jnp.asarray(rec.flat_pcm(pad_samples=pad))
+
+    for (bi, uids) in b_dev.batch_plan(epoch=1)[:3]:
+        x_h = b_host.make_batch(bi, uids, np.random.default_rng(0))
+        x_d = b_dev.make_batch(bi, uids, np.random.default_rng(0))
+        assert "audio" not in x_d and x_d["audio_offset"].dtype == np.int32
+        gathered = gather_audio(
+            corpus, {k: jnp.asarray(v) for k, v in x_d.items()},
+            fe_cfg.hop_length)
+        np.testing.assert_array_equal(np.asarray(gathered), x_h["audio"])
+        # metadata halves identical too
+        for k in ("text", "text_mask", "masked_position",
+                  "speech_segment_pos", "text_segment_pos",
+                  "audio_lengths"):
+            np.testing.assert_array_equal(x_d[k], x_h[k])
+
+
+def test_device_audio_train_step_matches_host_step(packed):
+    """One optimizer step through the corpus-gather path equals the host
+    path bit-for-bit (same params, same rng)."""
+    import jax
+    import jax.numpy as jnp
+
+    from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
+    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+    from a3t_tpu.models import A3TMLMModel, A3TModelConfig, EncoderConfig
+    from a3t_tpu.train import (
+        OptimConfig, create_train_state, make_optimizer, make_train_step)
+    from a3t_tpu.train.train_step import featurize
+
+    _, out, conv = packed
+    fe = LogMelFrontend(LogMelConfig(
+        fs=8000, n_fft=256, hop_length=80, win_length=240, n_mels=20,
+        fmin=20, fmax=4000))
+    rec = RecordDataset(out)
+    kw = dict(batch_bins=20 * 64 * 4, bucket_frames=(64, 128, 256),
+              mlm_prob_factor=1.0, use_native_loader=False)
+    b_host = BucketBatcher(rec, fe.config, BatcherConfig(**kw))
+    b_dev = BucketBatcher(rec, fe.config,
+                          BatcherConfig(device_audio=True, **kw))
+    pad = max(b.n_samples for b in b_dev.buckets)
+    corpus = jnp.asarray(rec.flat_pcm(pad_samples=pad))
+
+    enc = EncoderConfig(num_blocks=1, attention_dim=32, attention_heads=2,
+                        linear_units=48, cnn_module_kernel=7)
+    model = A3TMLMModel(A3TModelConfig(
+        vocab_size=len(conv), odim=20, encoder=enc,
+        decoder=None, postnet_layers=1, postnet_chans=24))
+    tx = make_optimizer(OptimConfig(warmup_steps=10))
+
+    (bi, uids) = b_dev.batch_plan(epoch=1)[0]
+    x_h = {k: jnp.asarray(v)
+           for k, v in b_host.make_batch(
+               bi, uids, np.random.default_rng(0)).items()}
+    x_d = {k: jnp.asarray(v)
+           for k, v in b_dev.make_batch(
+               bi, uids, np.random.default_rng(0)).items()}
+
+    state = create_train_state(model, tx, featurize(fe, x_h))
+    step_h = make_train_step(model, fe, donate=False)
+    step_d = make_train_step(model, fe, donate=False, corpus=corpus)
+    rng = jax.random.PRNGKey(3)
+    s_h, stats_h = step_h(state, x_h, rng)
+    s_d, stats_d = step_d(state, x_d, rng)
+    np.testing.assert_array_equal(np.asarray(stats_h["loss"]),
+                                  np.asarray(stats_d["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s_h.params),
+                    jax.tree_util.tree_leaves(s_d.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
