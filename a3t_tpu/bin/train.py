@@ -48,6 +48,9 @@ def main(argv=None):
 
     import jax
 
+    from a3t_tpu.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     jax.config.update("jax_default_prng_impl", args.prng)
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)

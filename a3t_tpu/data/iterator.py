@@ -29,20 +29,42 @@ class PrefetchIterator:
         self._done = object()
         self._err: Optional[BaseException] = None
         self._closed = False
+        # producer-side timing (seconds, cumulative): where a slow pipeline
+        # spends its time — batch assembly (gen), host->device transform,
+        # or waiting on a full queue (consumer-bound, the healthy state).
+        # Read by Trainer's log line; written only by the producer thread.
+        self.t_gen = 0.0
+        self.t_transform = 0.0
+        self.t_qfull = 0.0
+        self.n_produced = 0
 
         def produce():
+            import time as _time
+
             try:
-                for item in it:
+                while True:
+                    t0 = _time.perf_counter()
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    t1 = _time.perf_counter()
+                    self.t_gen += t1 - t0
                     if self._closed:
                         return
                     if transform is not None:
                         item = transform(item)
+                        t2 = _time.perf_counter()
+                        self.t_transform += t2 - t1
+                    t2 = _time.perf_counter()
                     while not self._closed:
                         try:
                             self.q.put(item, timeout=0.5)
                             break
                         except queue.Full:
                             continue
+                    self.t_qfull += _time.perf_counter() - t2
+                    self.n_produced += 1
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:

@@ -250,10 +250,26 @@ class Trainer:
                 for s, w in pending:
                     sub.register(s, weight=w)
                 pending.clear()
+                pipe = ""
+                n_prod = getattr(iterator, "n_produced", 0)
+                if n_prod:
+                    # producer-side breakdown: gen = host batch assembly,
+                    # put = host->device transform, qfull = waiting on the
+                    # consumer (healthy).  Large gen/put explains a large
+                    # iter wait; large qfull means the chip is the limit.
+                    pipe = (
+                        " pipe[gen %.0f put %.0f qfull %.0f ms/b]" % (
+                            1e3 * iterator.t_gen / n_prod,
+                            1e3 * iterator.t_transform / n_prod,
+                            1e3 * iterator.t_qfull / n_prod,
+                        ))
                 logger.info(
-                    "epoch %d iter %d: loss=%.4f (%.0f ms/step incl. dispatch)",
+                    "epoch %d iter %d: loss=%.4f (%.0f ms/step incl. "
+                    "dispatch, %.0f ms iter wait)%s",
                     epoch, it + 1, float(np.asarray(stats["loss"])),
                     1e3 * np.mean(sub._timings["step"][-cfg.log_interval:]),
+                    1e3 * np.mean(sub._timings["iter"][-cfg.log_interval:]),
+                    pipe,
                 )
         for s, w in pending:
             sub.register(s, weight=w)
