@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument("--crop-frames", type=int, default=96)
     ap.add_argument("--max-utts", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-interval", type=int, default=5000,
+                    help="checkpoint every N steps (runs bounded by a "
+                         "wall-clock timeout resume from the last save)")
     ap.add_argument("--phase-conv", action="store_true",
                     help="phase-decomposed dilated convs (fast compile); "
                          "crop-frames*hop must be divisible by 512")
@@ -48,7 +51,8 @@ def main(argv=None):
     cfg = VocoderTrainConfig(
         total_steps=args.steps, disc_start_step=args.disc_start,
         batch_size=args.batch_size, crop_frames=args.crop_frames,
-        seed=args.seed, phase_conv=args.phase_conv)
+        seed=args.seed, phase_conv=args.phase_conv,
+        save_interval=args.save_interval)
     train_vocoder(args.wav_scp, args.out, fe_cfg, cfg,
                   max_utts=args.max_utts or None)
 

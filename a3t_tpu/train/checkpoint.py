@@ -242,3 +242,34 @@ def restore_portable(path: str):
         lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
         meta)
     return ckpt.restore(path, abstract)
+
+
+def warm_start_params(template_params, path: str):
+    """Load a params-only checkpoint onto a live train state's layout.
+
+    ``path`` holds ``{"params": ...}`` (an ``ave_*`` export, an epoch
+    checkpoint, or a ``bin/export_params`` stash — possibly downcast to
+    bf16).  Every leaf is cast to the template's dtype and device_put to
+    the template's sharding, so warm-starting works identically on a
+    single chip and under a pjit mesh.  Reference analogue: --init_param
+    (espnet2/torch_utils/load_pretrained_model.py:43-102).
+    """
+    tree = restore_portable(path)
+    loaded = tree.get("params", tree)
+    loaded_flat, loaded_def = jax.tree_util.tree_flatten(loaded)
+    tmpl_flat, tmpl_def = jax.tree_util.tree_flatten(template_params)
+    if loaded_def != tmpl_def:
+        raise ValueError(
+            f"warm-start params structure mismatch: {path} does not match "
+            f"the model (did the config change?)")
+    out = []
+    for t, x in zip(tmpl_flat, loaded_flat):
+        if x.shape != t.shape:
+            raise ValueError(
+                f"warm-start shape mismatch: checkpoint {x.shape} vs "
+                f"model {t.shape}")
+        cast = np.asarray(x).astype(np.asarray(t).dtype)
+        sharding = getattr(t, "sharding", None)
+        out.append(jax.device_put(cast, sharding) if sharding is not None
+                   else jax.device_put(cast))
+    return jax.tree_util.tree_unflatten(tmpl_def, out)

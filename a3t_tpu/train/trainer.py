@@ -24,7 +24,7 @@ from typing import Callable, Iterable, Optional
 import jax
 import numpy as np
 
-from a3t_tpu.train.checkpoint import CheckpointManager
+from a3t_tpu.train.checkpoint import CheckpointManager, warm_start_params
 from a3t_tpu.train.reporter import Reporter
 
 logger = logging.getLogger("a3t_tpu")
@@ -74,6 +74,13 @@ class TrainerConfig:
     # checkpoint up), and stop.  None disables.
     max_walltime_sec: Optional[float] = None
     resubmit_command: Optional[str] = None
+    # warm-start: when no resume checkpoint exists, load model params from a
+    # params-only orbax dir (an ``ave_*`` export or ``bin/export_params``
+    # stash) and start with a fresh optimizer — the reference's --init_param
+    # path (espnet2/torch_utils/load_pretrained_model.py:43-102, consumed by
+    # tasks/abs_task.py).  Dtypes/shardings follow the live train state, so
+    # a bf16 stash warm-starts fp32 training and sharded meshes both work.
+    init_params_dir: Optional[str] = None
 
 
 class Trainer:
@@ -130,6 +137,10 @@ class Trainer:
                 start_epoch = epoch_m
                 logger.info("resumed mid-epoch %d at iter %d",
                             epoch_m, skip_iters)
+        if cfg.init_params_dir and start_epoch == 1 and skip_iters == 0:
+            state = state.replace(
+                params=warm_start_params(state.params, cfg.init_params_dir))
+            logger.info("warm-started params from %s", cfg.init_params_dir)
 
         run_t0 = time.perf_counter()
         max_epoch_sec = 0.0

@@ -184,7 +184,15 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp):
         "trainer": {"max_epoch": args.epochs,
                     "num_iters_per_epoch": args.iters_per_epoch,
                     "keep_nbest_models": 5, "log_interval": 50,
-                    "resume": True},
+                    "resume": True,
+                    # cross-session stash (bin/export_params): warm-start
+                    # when the workdir was wiped and no resume ckpt exists;
+                    # absent stash (very first run) falls through to random
+                    # init so the recipe line is the same either way
+                    "init_params_dir": (args.init_params
+                                        if args.init_params
+                                        and os.path.isdir(args.init_params)
+                                        else None)},
     }
     conf_path = os.path.join(workdir, "config.yaml")
     with open(conf_path, "w") as f:
@@ -413,6 +421,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--iters-per-epoch", type=int, default=100)
     ap.add_argument("--warmup-steps", type=int, default=2000)
+    ap.add_argument("--init-params", default="",
+                    help="params-only orbax dir (bin/export_params stash) "
+                         "to warm-start from when no resume ckpt exists")
     ap.add_argument("--batch-bins", type=int, default=3000000)
     ap.add_argument("--no-device-audio", action="store_true",
                     help="ship per-step PCM from host instead of the "

@@ -515,3 +515,49 @@ def test_walltime_resubmit(rng, tmp_path):
     assert os.path.exists(marker)
     # the epoch checkpoint exists for the resubmitted run to resume from
     assert CheckpointManager(str(tmp_path / "exp")).latest_epoch() == 1
+
+
+def test_warm_start_params_bf16_stash(rng, tmp_path):
+    """export_params -> warm_start_params round-trip: a bf16 params-only
+    stash loads onto a fresh fp32 train state (cross-session continuation
+    after a workdir wipe; reference --init_param analogue,
+    espnet2/torch_utils/load_pretrained_model.py:43-102)."""
+    from a3t_tpu.bin.export_params import main as export_main
+    from a3t_tpu.train.checkpoint import warm_start_params
+    from a3t_tpu.train.reporter import Reporter
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    state = create_train_state(
+        model, tx, featurize(fe, batch, use_fused=False))
+    trained = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, state.params))
+
+    exp = tmp_path / "exp"
+    mgr = CheckpointManager(str(exp), keep_nbest=2)
+    rep = Reporter()
+    rep.start_epoch(1)
+    rep.phase("valid").register({"loss": 1.0})
+    rep.finish_epoch()
+    mgr.save_epoch(1, trained, rep)
+
+    stash = tmp_path / "stash"
+    export_main(["--exp", str(exp), "--epoch", "latest",
+                 "--out", str(stash), "--dtype", "bfloat16"])
+
+    fresh = create_train_state(
+        model, tx, featurize(fe, batch, use_fused=False))
+    warmed = warm_start_params(fresh.params, str(stash))
+    for t, w in zip(jax.tree_util.tree_leaves(trained.params),
+                    jax.tree_util.tree_leaves(warmed)):
+        assert np.asarray(w).dtype == np.asarray(t).dtype  # back to fp32
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(t), rtol=1e-2, atol=1e-2)
+
+    # structure mismatches fail loudly instead of silently mis-mapping
+    import pytest as _pytest
+    bad = {"params": {"only": np.zeros((2,), np.float32)}}
+    with _pytest.raises(ValueError):
+        warm_start_params(bad["params"], str(stash))
