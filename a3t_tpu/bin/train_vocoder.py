@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--crop-frames", type=int, default=96)
     ap.add_argument("--max-utts", type=int, default=0)
+    ap.add_argument("--corpus-cache", default="",
+                    help="npz path caching decoded wavs + mels + MVN; "
+                         "cuts minutes of corpus reload off every "
+                         "bounded-chunk restart")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-interval", type=int, default=5000,
                     help="checkpoint every N steps (runs bounded by a "
@@ -54,7 +58,8 @@ def main(argv=None):
         seed=args.seed, phase_conv=args.phase_conv,
         save_interval=args.save_interval)
     train_vocoder(args.wav_scp, args.out, fe_cfg, cfg,
-                  max_utts=args.max_utts or None)
+                  max_utts=args.max_utts or None,
+                  corpus_cache=args.corpus_cache or None)
 
 
 if __name__ == "__main__":

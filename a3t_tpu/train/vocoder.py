@@ -109,14 +109,28 @@ class VocoderData:
     """In-memory (wav, mel) corpus with frame-aligned random crops."""
 
     def __init__(self, wav_scp: str, fe_cfg: LogMelConfig,
-                 max_utts: Optional[int] = None):
+                 max_utts: Optional[int] = None,
+                 cache_path: Optional[str] = None):
         from a3t_tpu.data.fileio import SoundScpReader
 
         from a3t_tpu.dsp.frontend import corpus_mvn, extract_corpus_mels
 
+        self.hop = fe_cfg.hop_length
+        if cache_path and os.path.exists(cache_path):
+            # one flat-file read replaces 12k wav decodes + the on-device
+            # mel sweep — training restarts in bounded chunks pay corpus
+            # load on every chunk, so this is minutes per restart
+            z = np.load(cache_path)
+            wav_off, mel_off = z["wav_offsets"], z["mel_offsets"]
+            self.utts = [
+                (z["wav_cat"][wav_off[i]:wav_off[i + 1]],
+                 z["mel_cat"][mel_off[i]:mel_off[i + 1]])
+                for i in range(len(wav_off) - 1)
+            ]
+            self.mel_mean, self.mel_std = z["mel_mean"], z["mel_std"]
+            return
         reader = SoundScpReader(wav_scp)
         frontend = LogMelFrontend(fe_cfg)
-        self.hop = fe_cfg.hop_length
         uids = list(reader.keys())
         if max_utts:
             uids = uids[:max_utts]
@@ -129,6 +143,16 @@ class VocoderData:
         trunc, mels = extract_corpus_mels(frontend, wavs)
         self.utts = list(zip(trunc, mels))
         self.mel_mean, self.mel_std = corpus_mvn(mels)
+        if cache_path:
+            tmp = cache_path + ".tmp.npz"
+            np.savez(
+                tmp,
+                wav_cat=np.concatenate([w for w, _ in self.utts]),
+                mel_cat=np.concatenate([m for _, m in self.utts], axis=0),
+                wav_offsets=np.cumsum([0] + [len(w) for w, _ in self.utts]),
+                mel_offsets=np.cumsum([0] + [len(m) for _, m in self.utts]),
+                mel_mean=self.mel_mean, mel_std=self.mel_std)
+            os.replace(tmp, cache_path)
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int,
                      crop_frames: int):
@@ -160,6 +184,7 @@ def _ckpt_tree(step, pg, pd, og, od):
 def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
                   cfg: VocoderTrainConfig = VocoderTrainConfig(),
                   max_utts: Optional[int] = None,
+                  corpus_cache: Optional[str] = None,
                   log_fn: Callable[[str], None] = print) -> str:
     """Train a PWG vocoder on a wav.scp corpus; returns the checkpoint dir.
 
@@ -178,7 +203,8 @@ def train_vocoder(wav_scp: str, out_dir: str, fe_cfg: LogMelConfig,
     disc = PWGDiscriminator()
 
     log_fn(f"vocoder: loading corpus {wav_scp} ...")
-    data = VocoderData(wav_scp, fe_cfg, max_utts=max_utts)
+    data = VocoderData(wav_scp, fe_cfg, max_utts=max_utts,
+                       cache_path=corpus_cache)
     log_fn(f"vocoder: {len(data.utts)} utts in memory")
 
     rng = np.random.default_rng(cfg.seed)

@@ -135,3 +135,44 @@ def test_phase_conv_matches_dilated(rng):
     out2 = g2.apply(v1, mel, z)  # same params: layout is identical
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=1e-5)
+
+
+def test_vocoder_corpus_cache_roundtrip(tmp_path, rng):
+    """The npz corpus cache reproduces the decoded corpus exactly —
+    bounded-chunk restarts reload in one flat read instead of re-decoding
+    every wav and re-running the on-device mel sweep."""
+    fs, hop = 8000, 40
+    data = tmp_path / "data"
+    os.makedirs(data)
+    from a3t_tpu.data.fileio import write_wav
+    from a3t_tpu.train.vocoder import VocoderData
+
+    lines = []
+    for i in range(3):
+        t = np.arange(int((0.3 + 0.1 * i) * fs)) / fs
+        wav = (0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)).astype(
+            np.float32)
+        p = str(data / f"u{i}.wav")
+        write_wav(p, fs, wav)
+        lines.append(f"u{i} {p}")
+    scp = str(data / "wav.scp")
+    with open(scp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    fe = LogMelConfig(fs=fs, n_fft=128, hop_length=hop, win_length=128,
+                      n_mels=10, fmin=40.0, fmax=3900.0)
+    cache = str(tmp_path / "corpus.npz")
+    fresh = VocoderData(scp, fe, cache_path=cache)   # writes the cache
+    assert os.path.exists(cache)
+    cached = VocoderData(scp, fe, cache_path=cache)  # reads it back
+    assert len(cached.utts) == len(fresh.utts)
+    for (w0, m0), (w1, m1) in zip(fresh.utts, cached.utts):
+        np.testing.assert_array_equal(w0, w1)
+        np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_array_equal(fresh.mel_mean, cached.mel_mean)
+    np.testing.assert_array_equal(fresh.mel_std, cached.mel_std)
+    # identical sampling stream from both
+    b0 = fresh.sample_batch(np.random.default_rng(0), 2, 8)
+    b1 = cached.sample_batch(np.random.default_rng(0), 2, 8)
+    np.testing.assert_array_equal(b0[0], b1[0])
+    np.testing.assert_array_equal(b0[1], b1[1])
