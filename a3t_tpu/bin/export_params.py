@@ -49,12 +49,19 @@ def main(argv=None):
         dt = np.dtype("float32") if args.dtype == "float32" else "bfloat16"
         params = jax.tree_util.tree_map(
             lambda x: np.asarray(x).astype(dt), params)
+    # atomic replace: save to .tmp first so an interrupted export (the
+    # recipes run under wall-clock timeouts) never destroys the only
+    # committed warm-start stash
     out = os.path.abspath(args.out)
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(tmp, {"params": params})
+    ckpt.wait_until_finished()
     if os.path.exists(out):
         shutil.rmtree(out)
-    ckpt = ocp.StandardCheckpointer()
-    ckpt.save(out, {"params": params})
-    ckpt.wait_until_finished()
+    os.replace(tmp, out)
     n = sum(int(np.prod(np.asarray(x).shape))
             for x in jax.tree_util.tree_leaves(params))
     print(f"exported {n / 1e6:.1f}M params from {src} -> {out} "

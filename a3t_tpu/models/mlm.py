@@ -32,6 +32,14 @@ from a3t_tpu.models.conformer import (
     EncoderConfig,
     RelPosEncoding,
 )
+from a3t_tpu.models.layers import (
+    DurationPredictor,
+    MaskedInput,
+    Postnet,
+    normal_init,
+    xavier,
+    zeros,
+)
 
 
 class _PosEnc(nn.Module):
@@ -55,14 +63,6 @@ class _PosEnc(nn.Module):
             self.d_model, self.dropout_rate,
             legacy=self.kind == "legacy_rel", name="rel",
         )(x, deterministic=deterministic)
-from a3t_tpu.models.layers import (
-    DurationPredictor,
-    MaskedInput,
-    Postnet,
-    normal_init,
-    xavier,
-    zeros,
-)
 
 
 @dataclasses.dataclass(frozen=True)

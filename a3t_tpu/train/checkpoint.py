@@ -268,7 +268,9 @@ def warm_start_params(template_params, path: str):
             raise ValueError(
                 f"warm-start shape mismatch: checkpoint {x.shape} vs "
                 f"model {t.shape}")
-        cast = np.asarray(x).astype(np.asarray(t).dtype)
+        # t.dtype avoids materializing the template leaf to host (and works
+        # on non-fully-addressable arrays under a multi-host mesh)
+        cast = np.asarray(x).astype(t.dtype)
         sharding = getattr(t, "sharding", None)
         out.append(jax.device_put(cast, sharding) if sharding is not None
                    else jax.device_put(cast))

@@ -116,19 +116,30 @@ class VocoderData:
         from a3t_tpu.dsp.frontend import corpus_mvn, extract_corpus_mels
 
         self.hop = fe_cfg.hop_length
+        cache_key = json.dumps({
+            "fe": dataclasses.asdict(fe_cfg), "max_utts": max_utts,
+            "scp_bytes": os.path.getsize(wav_scp)}, sort_keys=True)
         if cache_path and os.path.exists(cache_path):
             # one flat-file read replaces 12k wav decodes + the on-device
             # mel sweep — training restarts in bounded chunks pay corpus
             # load on every chunk, so this is minutes per restart
             z = np.load(cache_path)
-            wav_off, mel_off = z["wav_offsets"], z["mel_offsets"]
-            self.utts = [
-                (z["wav_cat"][wav_off[i]:wav_off[i + 1]],
-                 z["mel_cat"][mel_off[i]:mel_off[i + 1]])
-                for i in range(len(wav_off) - 1)
-            ]
-            self.mel_mean, self.mel_std = z["mel_mean"], z["mel_std"]
-            return
+            stored_key = str(z["cache_key"]) if "cache_key" in z else None
+            if stored_key == cache_key:
+                # hoist the concatenated members: NpzFile re-reads the full
+                # member on every [] access, and per-utt slices of one parent
+                # share its buffer instead of pinning n copies
+                wav_cat, mel_cat = z["wav_cat"], z["mel_cat"]
+                wav_off, mel_off = z["wav_offsets"], z["mel_offsets"]
+                self.utts = [
+                    (wav_cat[wav_off[i]:wav_off[i + 1]],
+                     mel_cat[mel_off[i]:mel_off[i + 1]])
+                    for i in range(len(wav_off) - 1)
+                ]
+                self.mel_mean, self.mel_std = z["mel_mean"], z["mel_std"]
+                return
+            print(f"vocoder: cache {cache_path} stale (key mismatch), "
+                  "re-extracting", flush=True)
         reader = SoundScpReader(wav_scp)
         frontend = LogMelFrontend(fe_cfg)
         uids = list(reader.keys())
@@ -151,7 +162,8 @@ class VocoderData:
                 mel_cat=np.concatenate([m for _, m in self.utts], axis=0),
                 wav_offsets=np.cumsum([0] + [len(w) for w, _ in self.utts]),
                 mel_offsets=np.cumsum([0] + [len(m) for _, m in self.utts]),
-                mel_mean=self.mel_mean, mel_std=self.mel_std)
+                mel_mean=self.mel_mean, mel_std=self.mel_std,
+                cache_key=np.str_(cache_key))
             os.replace(tmp, cache_path)
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int,
