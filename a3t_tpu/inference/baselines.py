@@ -23,10 +23,28 @@ import jax.numpy as jnp
 import optax
 
 from a3t_tpu.inference.sedit import (
+    MASK_TOKEN,
     SpeechEditor,
     UtteranceAlignment,
     diff_phone_spans,
 )
+
+
+def resolve_mask_str(alignment: UtteranceAlignment, old_str: str,
+                     new_str: str, lexicon, g2p=None) -> str:
+    """Replace ``[MASK]`` in ``new_str`` with the original phones it spans.
+
+    The MCD reconstruction protocol feeds ``tokens[:n//3] [MASK]
+    tokens[-n//3:]`` (eval/mcd.py middle_third_mask_str); the FS2 baselines
+    need real tokens to synthesize, and the reference decodes them on the
+    ground-truth text (aggregate_output/sedit_decode.py:39-98)."""
+    if MASK_TOKEN not in new_str:
+        return new_str
+    _, span_replaced, _ = diff_phone_spans(
+        alignment, old_str, new_str, lexicon, g2p)
+    old_phns = list(alignment.phones)
+    filled = " ".join(old_phns[span_replaced[0]:span_replaced[1]])
+    return new_str.replace(MASK_TOKEN, filled)
 
 
 class FS2Baselines:
@@ -100,6 +118,13 @@ class FS2Baselines:
         c = self.fe.config
         new_phns, span_replaced, span_added = diff_phone_spans(
             alignment, full_str, new_str, lexicon)
+        if MASK_TOKEN in new_str:
+            # mask reconstruction: synthesize the original text; the edited
+            # span is the original span (mirrors the sedit mask-mode
+            # timeline, inference/sedit.py::_new_timeline)
+            new_phns = list(alignment.phones)
+            span_added = list(span_replaced)
+            new_str = " ".join(new_phns)
         old_span = [
             int(alignment.start_sec[span_replaced[0]] * c.fs / c.hop_length),
             int(alignment.start_sec[min(span_replaced[1],

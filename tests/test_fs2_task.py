@@ -144,3 +144,58 @@ def test_editor_with_trained_duration_fn(fs2_exp):
     res = editor.edit(wav, aligner(uid), old_str, new_str)
     assert np.isfinite(res.prediction).all()
     assert res.new_span_boundary[1] > res.new_span_boundary[0]
+
+
+def test_batch_decode_with_fs2_baselines(fs2_exp, tmp_path):
+    """batch_decode --fs2-exp emits baseline1/2/3 wavs next to the sedit
+    splits (aggregate_output/sedit_decode.py:39-98 analogue)."""
+    import wave
+
+    import yaml
+
+    exp_fs2, corpus = fs2_exp
+    from a3t_tpu.bin.batch_decode import main as decode_main
+    from a3t_tpu.bin.train import main as train_main
+    from a3t_tpu.data.fileio import read_2column_text
+
+    exp_mlm = str(tmp_path / "exp_mlm")
+    conf = {
+        "train_data_dir": corpus, "valid_data_dir": corpus,
+        "exp_dir": exp_mlm,
+        "frontend": {"fs": 8000, "n_fft": 256, "hop_length": 80,
+                     "win_length": 240, "n_mels": 20, "fmin": 20.0,
+                     "fmax": 4000.0},
+        "model": {"encoder": {"attention_dim": 32, "attention_heads": 2,
+                              "linear_units": 64, "num_blocks": 1,
+                              "cnn_module_kernel": 7},
+                  "decoder": None, "postnet_layers": 0},
+        "optim": {"model_size": 32, "warmup_steps": 10},
+        "batcher": {"batch_bins": 20 * 256 * 4, "bucket_frames": [256],
+                    "min_frames": 1},
+        "trainer": {"max_epoch": 1, "num_iters_per_epoch": 2,
+                    "keep_nbest_models": 1, "log_interval": 100},
+    }
+    conf_path = str(tmp_path / "mlm.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+    train_main(["--config", conf_path, "--log-level", "WARNING"])
+
+    texts = read_2column_text(os.path.join(corpus, "text"))
+    uids = list(texts)[:2]
+    task_file = str(tmp_path / "tasks.txt")
+    with open(task_file, "w") as f:
+        f.write(f"{uids[0]}\n")  # blank -> middle-third protocol mask
+        words = texts[uids[1]].split()
+        f.write(f"{uids[1]}|" + " ".join(
+            words[:1] + ["[MASK]"] + words[2:]) + "\n")
+    out_dir = str(tmp_path / "decoded")
+    decode_main(["--exp-dir", exp_mlm, "--data-dir", corpus,
+                 "--task-file", task_file, "--out-dir", out_dir,
+                 "--fs2-exp", exp_fs2, "--fs2-checkpoint", "epoch_1"])
+    for uid in uids:
+        for split in ("full", "replaced", "gt_span",
+                      "baseline1", "baseline2", "baseline3"):
+            p = os.path.join(out_dir, f"{uid}_{split}.wav")
+            assert os.path.exists(p), p
+            with wave.open(p) as w:
+                assert w.getnframes() > 0
