@@ -68,6 +68,11 @@ const Rule kRules[] = {
     {"#", "AL", "^", "AO1 L"},  // alter, although (word-initial al-)
     {"&:^", "A", "LLY#", "AH0"},  // abnormally, academically (-ally
                                   // reduces off the first syllable)
+    {"U", "A", "LL", "AH0"},    // actually, annually (u-hiatus reduces
+                                // before the generic a+ll rule)
+    {"&:", "A", "LS#", "AH0"},  // animals, annals, arrivals — plural -als
+                                // reduces after the first vowel (gals,
+                                // pals — monosyllables — keep ae)
     {"", "A", "LL", "AO1"},     // pall, calloway, nebergall
     {"", "A", "L^", "AO1"},     // salt, calm, half, bald — the binary says
                                 // ao for a+l+consonant everywhere (italy,
@@ -86,6 +91,8 @@ const Rule kRules[] = {
     {"W", "A", "T", "AA1"},     // water, watch
     {"WH", "A", "T", "AA1"},    // what, whatever
     {"W", "A", "S", "AA1"},     // was, wasted, wasley
+    {"#", "A", "SI", "EY1"},    // asia, asian (before the short rule)
+    {"#", "A", "S$", "AE1"},    // asa, asahi — word-initial a+s+vowel
     {"", "A", "S$", "EY1"},     // casa, masochist
     {"", "A", "TIEN", "EY1"},   // patient, impatient, patience
     {"", "A", "WA", "AH0"},     // away, award, hathaway (keeps the W; the
@@ -100,19 +107,33 @@ const Rule kRules[] = {
     {"", "A", "^E:#", "EY1"},   // abel, abell, label: long when the e is
                                 // the last vowel (abela keeps ae)
     {"", "A", "^LE#", "EY1"},   // table, cable, stable (magic over -le)
+    {"&:", "A", "CY#", "AE1"},  // -acy nouns after the first vowel keep
+                                // short a (fallacy, piracy, accuracy,
+                                // legacy); spacy/stacy/tracy — no earlier
+                                // vowel — stay EY; plural -acies is EY in
+                                // the binary too, so the rule pins CY#
     {"", "A", "^%#", "EY1"},    // magic e incl. -er/-es/-ed/-ely/-ing
-    {"", "A", "^I#", "EY1"},
+    {"", "A", "^IA", "EY1"},    // acacia, acadia, canadian, italian,
+                                // radial — long a before C+ia
+    {"", "A", "^IE", "EY1"},    // alien(ate), alie — long a before C+ie
+    {"", "A", "^EA", "EY1"},    // azalea
+    {"", "A", "XI", "EY1"},     // taxi(ed) (before the short a+C+i# rule)
+    {"", "A", "^I#", "AE1"},    // abadi, salami, afghani, akali — the
+                                // binary keeps short a before C+final i
     {"", "A", "^IO", "EY1"},    // abio, radio-family
     {"", "A", "^Y#", "EY1"},    // magic y (amy, lady, wavy, gary)
     {"", "A", "^EY#", "EY1"},   // paley, maley
+    {"#", "A", "GENT", "EY1"},  // agent(s) — exception to agen- below
+    {"#", "A", "GENCY#", "EY1"},  // agency (but agencies/agenda/agence
+                                  // are short in the binary)
+    {"#", "A", "GEN", "AE1"},   // agenda, agence, agencies
+    {"#", "A", "GEL", "AE1"},   // ageless
+    {"#", "A", "GER", "AE1"},   // ageratum, agerton
     {"", "A", "GE", "EY1"},     // bagel (agent/garage paths fire above)
     {"#", "A", "CE", "AH0"},    // acerbic, acero (word-initial)
     {"", "A", "CE", "EY1"},     // macek, palace-family
     {"", "A", "KE", "EY1"},     // aken, make-family
-    {"", "A", "XI", "EY1"},     // taxi(ed)
     {"", "A", "^EE#", "EY1"},   // magee, mcatee
-    {"", "A", "^IE#", "EY1"},   // alie
-    {"", "A", "^IES#", "EY1"},  // ladies, babies
     {"", "A", "^ERY#", "EY1"},  // avery, bakery
     {"I", "A", "L#", "AH0"},    // dial, trial, material
     {"#QU", "A", "L", "AE1"},   // quality, qualify (equal reduces)
@@ -133,7 +154,9 @@ const Rule kRules[] = {
     {"", "CIE", "", "S IY0"},   // muncie, acierno
     {"", "CI", "$", "SH"},      // -cio/-cious (gumucio, gracious)
     {"TE", "CH", "", "K"},      // tech, biotechs
-    {"^E", "CH", "#", "K"},     // lech, zech, cech (speech/teach keep ch)
+    {"^E", "CH", "", "K"},      // lech, becher, albrecht, bechtel —
+                                // consonant+e+ch hardens everywhere
+                                // (speech/teach, vowel+e, keep ch)
     {"", "CH", "", "CH"},
     {"", "CK", "", "K"},
     {"", "C", "+", "S"},
@@ -471,14 +494,30 @@ const Rule kRules[] = {
     {"#:^", "O", "N#", "AH1"},  // non
     {"#:^", "O", "NI", "AH1"},  // sonic, monitor, chronicled
     {"&:^", "O", "NIS", "AA1"},  // admonish (stressed)
-    {"&:^", "O", "NI", "OW1"},  // acrimonious, begonia (later syllables
-                                // go long in the binary)
+    {"&:^", "O", "NI$", "OW1"},  // acrimonious, begonia — long only when
+                                 // a vowel follows the ni
+    {"R", "O", "NI#", "AH0"},   // macaroni, pepperoni (r-onset reduces)
+    {"&:^", "O", "NI", "AA1"},  // antoni, antonin, harmonic, admonition —
+                                // ni + consonant/end is short in the binary
     {"#:^", "O", "NU", "AH1"},  // bonus
     {"#:^", "O", "NA", "AH1"},  // donar, monaghan, sonata
+    {"&:^", "O", "MING", "OW1"},  // blossoming, bottoming — -ing magic
+                                  // wins over the omi reduction below
+    {"&:^", "O", "MI$", "OW1"},  // anomie, binomial, appendectomies
     {"&:^", "O", "MI", "AH1"},  // abdominal, abominable (non-initial)
+    {"&:", "O", "MM", "AH0"},   // accommodate, accompany, abercrombie —
+                                // o+mm reduces after the first vowel
+                                // (common/comma, o in the first syllable,
+                                // keep aa)
+    {"&:", "O", "MP", "AH0"},   // accomplish, accompaniment
+    {"&:", "O", "MY#", "AH0"},  // economy, anatomy, astronomy
+    {"&:", "O", "M#", "AH0"},   // absalom, slalom — final -om reduces
     {"#:^", "O", "NO", "AH1"},  // sonoma, honor
+    {"&:^", "O", "H$", "AA1"},  // alcohol, aloha — later-syllable o+h
     {"", "O", "H$", "OW1"},     // coherence, cohen
     {"Y^", "O", "N#", "AH1"},   // tyson, bryson
+    {"&:^", "O", "NS#", "AH0"},  // aarons — plural -ons reduces
+    {"&:^", "O", "NSON", "AH0"},  // aaronson
     {"Y^", "O", "NS#", "AH1"},  // nylons
     {"$", "O", "N#", "AH1"},    // carreon (vowel hiatus + final n)
     {"&:^", "O", "N#", "AH1"},  // aileron, polysyllabic final -on
@@ -491,11 +530,17 @@ const Rule kRules[] = {
     // first-syllable open o: long before e (model, hotel, moment,
     // closeness), after c always (society, locally), and before d/l+i
     // (bodies, nolie); the rest stay aa (coda, gogo, total, mosiman)
-    {"#:^", "O", "C$", "OW1"},    // c + vowel only (spock/knoch stay aa)
+    {"#L", "O", "C$", "OW1"},   // local, locale, loco, locust — the
+                                // binary's l-onset quirk; every other
+                                // first-syllable o+c+a/o/u is short
+                                // (boca, coca, bocock, documents)
     {"^", "O", "^E", "OW1"},
-    {"#:^", "O", "DI", "OW1"},
-    {"#:^", "O", "LI", "OW1"},
-    {"#:^", "O", "BI", "OW1"},  // gobie (aerobic-family stays aa)
+    {"#:^", "O", "^ING", "OW1"},  // coding, joking, boling, domingo —
+                                  // -ing magic keeps the long o
+    {"#:^", "O", "^I$", "OW1"},   // gobie, cobia, bodies, dozier, copier
+                                  // — long before i-in-hiatus; o+C+i
+                                  // before a consonant is short in the
+                                  // binary (bobick, bodily, comic, bolin)
     {"", "O", "^EY#", "OW1"},   // lokey, dopey
     {"", "O", "^%#", "OW1"},    // magic e incl. -er/-es/-ed/-ely/-ing
     {"T", "O", "#", "UW1"},     // tomato, photo, cato
@@ -532,6 +577,9 @@ const Rule kRules[] = {
     {"^", "SUR", "$", "SH ER0"},  // insure (voiceless after a consonant)
     {"", "SUR", "$", "ZH ER0"},   // measuring, pleasures
     {"", "SS", "", "S"},
+    {"^", "SION", "", "SH AH0 N"},  // dimension, compulsion, conversion —
+                                    // consonant+sion devoices (vision,
+                                    // vowel+sion, keeps zh)
     {"", "SION", "", "ZH AH0 N"},
     {"#", "S", "", "S"},
     {"", "SURE", "#", "ZH ER0"},  // lesure, composure (non-initial)
@@ -557,7 +605,9 @@ const Rule kRules[] = {
     {"#^E", "S", "#", "S"},     // yes, les (pronounced e, not silent)
     {"E", "S", "#", "Z"},       // houses, riddles (post-silent-e s)
     {"^A", "S", "$", "S"},      // casa, masochist (no voicing after a)
-    {"", "S", "M", "Z"},        // -ism (geotropism)
+    {"$", "S", "M", "Z"},       // -ism, sarcasm — voiced after a true
+                                // vowel only (abysmal's y and consonant
+                                // clusters — blacksmith, -sman — keep s)
     {"$", "S", "E#", "Z"},      // vowel + se# voices (hise, rose)
     {"$", "S", "$", "Z"},       // intervocalic s (rosener, myosin)
     {"", "S", "", "S"},
@@ -571,6 +621,10 @@ const Rule kRules[] = {
     {"", "TH", "", "TH"},
     {"", "TTH", "", "T TH"},    // witthuhn, potthast
     {"", "TT", "", "T T"},
+    {"", "TION", "E", "SH OW1 N"},  // auctioned, auctioneer — the binary
+                                    // only reduces bare -tion; a trailing
+                                    // e-suffix goes long (magic e)
+    {"", "TION", "ING", "SH OW1 N"},  // auctioning, apportioning
     {"", "TION", "", "SH AH0 N"},
     {"", "TIEN", "", "SH AH0 N"},  // patient, patience
     {"", "TIA", "", "SH AH0"},  // -tial/-tia (partial, valentia)
@@ -767,6 +821,8 @@ bool match_right(const std::string& w, int pos, const char* pat) {
       } else if (i + 2 < n && w[i] == 'I' && w[i + 1] == 'N' &&
                  w[i + 2] == 'G') {
         i += 3;
+        // -ingly extends -ing (amazingly, agonizingly keep the long vowel)
+        if (i + 1 < n && w[i] == 'L' && w[i + 1] == 'Y') i += 2;
       } else {
         return false;
       }
