@@ -244,7 +244,7 @@ def restore_portable(path: str):
     return ckpt.restore(path, abstract)
 
 
-def warm_start_params(template_params, path: str):
+def warm_start_params(template_params, path: str, grow_vocab: bool = False):
     """Load a params-only checkpoint onto a live train state's layout.
 
     ``path`` holds ``{"params": ...}`` (an ``ave_*`` export, an epoch
@@ -253,6 +253,14 @@ def warm_start_params(template_params, path: str):
     the template's sharding, so warm-starting works identically on a
     single chip and under a pjit mesh.  Reference analogue: --init_param
     (espnet2/torch_utils/load_pretrained_model.py:43-102).
+
+    ``grow_vocab=True`` permits fine-tuning on a corpus with a LARGER
+    token list: leaves whose shapes differ from the template only in the
+    leading dimension (embedding tables) keep the checkpoint rows for the
+    shared prefix and the template's fresh init for the new ids — so the
+    new tokens.txt must extend the pretraining one in-order.  This is the
+    partial-load half of the reference's --init_param `:::exclude` syntax
+    (load_pretrained_model.py:43-102) redone for vocab growth.
     """
     tree = restore_portable(path)
     loaded = tree.get("params", tree)
@@ -265,12 +273,20 @@ def warm_start_params(template_params, path: str):
     out = []
     for t, x in zip(tmpl_flat, loaded_flat):
         if x.shape != t.shape:
-            raise ValueError(
-                f"warm-start shape mismatch: checkpoint {x.shape} vs "
-                f"model {t.shape}")
-        # t.dtype avoids materializing the template leaf to host (and works
-        # on non-fully-addressable arrays under a multi-host mesh)
-        cast = np.asarray(x).astype(t.dtype)
+            vocab_growth = (
+                grow_vocab and len(x.shape) == len(t.shape)
+                and x.shape[1:] == t.shape[1:] and x.shape[0] < t.shape[0])
+            if not vocab_growth:
+                raise ValueError(
+                    f"warm-start shape mismatch: checkpoint {x.shape} vs "
+                    f"model {t.shape}")
+            grown = np.array(t, dtype=t.dtype)  # writable host copy
+            grown[: x.shape[0]] = np.asarray(x).astype(t.dtype)
+            cast = grown
+        else:
+            # t.dtype avoids materializing the template leaf to host (and
+            # works on non-fully-addressable arrays under a multi-host mesh)
+            cast = np.asarray(x).astype(t.dtype)
         sharding = getattr(t, "sharding", None)
         out.append(jax.device_put(cast, sharding) if sharding is not None
                    else jax.device_put(cast))

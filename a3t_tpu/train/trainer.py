@@ -81,6 +81,9 @@ class TrainerConfig:
     # tasks/abs_task.py).  Dtypes/shardings follow the live train state, so
     # a bf16 stash warm-starts fp32 training and sharded meshes both work.
     init_params_dir: Optional[str] = None
+    # with init_params_dir: allow the target model's token list to EXTEND
+    # the pretraining one (new embedding rows keep their fresh init)
+    init_params_grow_vocab: bool = False
 
 
 class Trainer:
@@ -139,7 +142,9 @@ class Trainer:
                             epoch_m, skip_iters)
         if cfg.init_params_dir and start_epoch == 1 and skip_iters == 0:
             state = state.replace(
-                params=warm_start_params(state.params, cfg.init_params_dir))
+                params=warm_start_params(
+                    state.params, cfg.init_params_dir,
+                    grow_vocab=cfg.init_params_grow_vocab))
             logger.info("warm-started params from %s", cfg.init_params_dir)
 
         run_t0 = time.perf_counter()

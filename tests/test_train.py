@@ -561,3 +561,66 @@ def test_warm_start_params_bf16_stash(rng, tmp_path):
     bad = {"params": {"only": np.zeros((2,), np.float32)}}
     with _pytest.raises(ValueError):
         warm_start_params(bad["params"], str(stash))
+
+
+def test_warm_start_grow_vocab(rng, tmp_path):
+    """grow_vocab warm start: a stash trained with a smaller token list
+    loads onto a model whose tokens.txt extends it — embedding rows for
+    shared ids are copied, new ids keep their fresh init (the vocab-growth
+    half of the reference's partial --init_param,
+    espnet2/torch_utils/load_pretrained_model.py:43-102)."""
+    import pytest as _pytest
+
+    from a3t_tpu.bin.export_params import main as export_main
+    from a3t_tpu.train.checkpoint import warm_start_params
+    from a3t_tpu.train.reporter import Reporter
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    state = create_train_state(
+        model, tx, featurize(fe, batch, use_fused=False))
+    trained = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, state.params))
+    exp = tmp_path / "exp"
+    mgr = CheckpointManager(str(exp), keep_nbest=2)
+    rep = Reporter()
+    rep.start_epoch(1)
+    rep.phase("valid").register({"loss": 1.0})
+    rep.finish_epoch()
+    mgr.save_epoch(1, trained, rep)
+    stash = tmp_path / "stash"
+    export_main(["--exp", str(exp), "--epoch", "latest",
+                 "--out", str(stash), "--dtype", "float32"])
+
+    # same architecture, vocab 30 -> 37
+    enc = EncoderConfig(attention_dim=32, attention_heads=2,
+                        linear_units=64, num_blocks=1, cnn_module_kernel=7)
+    bigger = A3TMLMModel(A3TModelConfig(
+        odim=20, vocab_size=37, encoder=enc,
+        decoder=EncoderConfig(attention_dim=32, attention_heads=2,
+                              linear_units=64, num_blocks=1),
+        postnet_layers=2, postnet_chans=16))
+    fresh = create_train_state(
+        bigger, tx, featurize(fe, batch, use_fused=False))
+
+    # without the flag the shape mismatch is an error
+    with _pytest.raises(ValueError):
+        warm_start_params(fresh.params, str(stash))
+
+    warmed = warm_start_params(fresh.params, str(stash), grow_vocab=True)
+    for path, t in jax.tree_util.tree_leaves_with_path(trained.params):
+        w = warmed
+        f = fresh.params
+        for k in path:
+            w, f = w[k.key], f[k.key]
+        if w.shape != t.shape:  # a grown embedding
+            assert w.shape[0] == 37 and t.shape[0] == 30
+            np.testing.assert_allclose(np.asarray(w)[:30], np.asarray(t),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(w)[30:],
+                                       np.asarray(f)[30:], rtol=1e-6)
+        else:
+            np.testing.assert_allclose(np.asarray(w), np.asarray(t),
+                                       rtol=1e-6)
