@@ -59,6 +59,11 @@ def main(argv=None):
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(tmp, {"params": params})
     ckpt.wait_until_finished()
+    # ship the token list so the stash is self-contained for fine-tunes
+    # on corpora whose token list extends this one (grow_vocab warm start)
+    tokens_src = os.path.join(args.exp, "tokens.txt")
+    if os.path.exists(tokens_src):
+        shutil.copy(tokens_src, os.path.join(tmp, "tokens.txt"))
     if os.path.exists(out):
         shutil.rmtree(out)
     os.replace(tmp, out)
