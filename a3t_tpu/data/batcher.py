@@ -309,3 +309,53 @@ class BucketBatcher:
             np.random.SeedSequence([self.config.seed, epoch, 777]))
         for bi, uids in self.batch_plan(epoch, shard):
             yield self.make_batch(bi, uids, rng)
+
+    # ------------------------------------------------------------------
+    def chained_plan(self, epoch: int, k: int,
+                     shard: tuple[int, int] = (0, 1)):
+        """Epoch plan grouped into same-bucket runs of up to ``k`` batches.
+
+        Group members share the bucket's static shapes, so a run can be
+        stacked into one (k, B, ...) superbatch and scanned inside a
+        single dispatch (train_step.make_chained_train_step).  Groups —
+        not batches — are permuted and round-robin sharded."""
+        rng = np.random.default_rng(self.config.seed + epoch)
+        runs: list[tuple[int, list[list[str]]]] = []
+        for bi, members in enumerate(self.bucket_members):
+            order = list(members)
+            rng.shuffle(order)
+            bs = self.buckets[bi].batch_size
+            chunks = [order[i: i + bs] for i in range(0, len(order), bs)]
+            for j in range(0, len(chunks), k):
+                runs.append((bi, chunks[j: j + k]))
+        perm = rng.permutation(len(runs))
+        runs = [runs[i] for i in perm]
+        rank, world = shard
+        return runs[rank::world]
+
+    def chained_epoch_iterator(self, epoch: int, k: int,
+                               shard: tuple[int, int] = (0, 1)):
+        """Yield ("chained", stacked, valid, weights) groups of ``k``.
+
+        ``stacked`` leaves carry a leading k axis; a bucket's last run is
+        padded by repeating its final batch with ``valid=False`` (the
+        padded sub-steps are skipped in-graph) so every group of a bucket
+        compiles exactly once."""
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.config.seed, epoch, 777]))
+        for bi, chunks in self.chained_plan(epoch, k, shard):
+            batches = [self.make_batch(bi, c, rng) for c in chunks]
+            yield stack_group(batches, k)
+
+
+def stack_group(batches: list, k: int):
+    """Stack <=k same-shape host batches into one chained group tuple."""
+    m = len(batches)
+    weights = np.array(
+        [float(len(b["audio_lengths"])) for b in batches]
+        + [0.0] * (k - m), np.float32)
+    valid = np.array([True] * m + [False] * (k - m))
+    padded = batches + [batches[-1]] * (k - m)
+    stacked = {key: np.stack([b[key] for b in padded])
+               for key in padded[0]}
+    return ("chained", stacked, valid, weights)

@@ -127,12 +127,18 @@ class EpochIterFactory:
         shard: tuple[int, int] = (0, 1),
         prefetch: int = 2,
         transform=None,
+        chain: int = 1,
     ):
         self.batcher = batcher
         self.num_iters = num_iters_per_epoch
         self.shard = shard
         self.prefetch = prefetch
         self.transform = transform
+        # chain > 1: yield ("chained", stacked, valid, weights) groups of
+        # that many same-bucket batches (see BucketBatcher.chained_plan);
+        # num_iters then counts SUB-steps, with the window edge realized
+        # by invalidating the tail of the final group
+        self.chain = chain
 
     def __call__(self, epoch: int):
         def gen():
@@ -142,13 +148,34 @@ class EpochIterFactory:
             # sequence_iter_factory.py:60-101)
             offset = 0
             while True:
-                it = self.batcher.epoch_iterator(epoch + offset, self.shard)
+                if self.chain > 1:
+                    it = self.batcher.chained_epoch_iterator(
+                        epoch + offset, self.chain, self.shard)
+                else:
+                    it = self.batcher.epoch_iterator(
+                        epoch + offset, self.shard)
                 empty = True
                 for batch in it:
                     empty = False
-                    yield batch
-                    produced += 1
-                    if self.num_iters is not None and produced >= self.num_iters:
+                    if self.chain > 1:
+                        tag, stacked, valid, weights = batch
+                        nv = int(valid.sum())
+                        if (self.num_iters is not None
+                                and produced + nv > self.num_iters):
+                            m = self.num_iters - produced
+                            valid = valid.copy()
+                            weights = weights.copy()
+                            valid[m:] = False
+                            weights[m:] = 0.0
+                            nv = m
+                            batch = (tag, stacked, valid, weights)
+                        yield batch
+                        produced += nv
+                    else:
+                        yield batch
+                        produced += 1
+                    if (self.num_iters is not None
+                            and produced >= self.num_iters):
                         return
                 if self.num_iters is None or empty:
                     return

@@ -155,6 +155,10 @@ class MLMTask:
             # otherwise serialize into every dispatch)
             name = None
             if isinstance(b, tuple):
+                if len(b) == 4 and b[0] == "chained":
+                    tag, stacked, valid, weights = b
+                    stacked = {k: jnp.asarray(v) for k, v in stacked.items()}
+                    return (tag, stacked, jnp.asarray(valid), weights)
                 name, b = b
             b = {k: jnp.asarray(v) for k, v in b.items()}
             if mesh is not None:
@@ -167,13 +171,22 @@ class MLMTask:
         if not _prefetch_put:
             to_device_batch = None  # noqa: F811
 
+        chain = int(cfg.trainer.steps_per_dispatch)
+        if chain > 1 and (mesh is not None or multi is not None
+                          or cfg.model.duration_predictor_layers > 0):
+            logger.warning(
+                "steps_per_dispatch=%d unsupported with mesh/multi-corpus/"
+                "TTS training; falling back to 1", chain)
+            chain = 1
+
         if multi is not None:
             train_factory = multi["factory"]
             train_factory.transform = to_device_batch
         else:
             train_factory = EpochIterFactory(
                 train_batcher, cfg.trainer.num_iters_per_epoch, shard,
-                cfg.num_workers_prefetch, transform=to_device_batch)
+                cfg.num_workers_prefetch, transform=to_device_batch,
+                chain=chain)
         valid_factory = (
             EpochIterFactory(valid_batcher, None, shard,
                              cfg.num_workers_prefetch,
@@ -200,8 +213,12 @@ class MLMTask:
         sample_host = _peek_batch(train_factory)
         sample_fe = fe
         if isinstance(sample_host, tuple):
-            name, sample_host = sample_host
-            sample_fe = multi["frontends"][name]
+            if len(sample_host) == 4 and sample_host[0] == "chained":
+                # first sub-batch of the stacked group
+                sample_host = {k: v[0] for k, v in sample_host[1].items()}
+            else:
+                name, sample_host = sample_host
+                sample_fe = multi["frontends"][name]
         sample = {k: jnp.asarray(v)[:2] for k, v in sample_host.items()}
         state = create_train_state(
             model, tx, featurize(sample_fe, {
@@ -252,6 +269,13 @@ class MLMTask:
 
             train_step = make_tts_train_step(model, fe, mesh=mesh,
                                              corpus=corpus)
+        elif chain > 1:
+            from a3t_tpu.train.train_step import make_chained_train_step
+
+            train_step = make_chained_train_step(
+                model, fe, chain, normalizer=normalizer,
+                use_fused=cfg.use_fused_frontend,
+                speech_only=cfg.speech_only, corpus=corpus)
         else:
             train_step = make_train_step(
                 model, fe, mesh=mesh, normalizer=normalizer,

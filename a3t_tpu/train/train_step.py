@@ -175,25 +175,18 @@ def constrain_time_sharding(mb: dict, mesh) -> dict:
     return out
 
 
-def make_train_step(
+def _make_step_core(
     model: A3TMLMModel,
     frontend: Optional[LogMelFrontend],
     mesh=None,
     speech_only: bool = False,
-    donate: bool = True,
     normalizer=None,
     use_fused: bool = True,
-    corpus=None,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+    """The un-jitted step: (state, batch, rng, corpus) -> (state, stats).
 
-    ``corpus`` is the optional device-resident flat int16 PCM buffer
-    (RecordDataset.flat_pcm): batches then carry ``audio_offset`` and the
-    waveforms are gathered on device (see gather_audio).  It is passed to
-    the jitted function as an argument — the same buffer every call, so
-    there is no per-step transfer and no retracing.
-    """
-
+    Shared by make_train_step (one jit per step) and
+    make_chained_train_step (k steps scanned inside one jit)."""
     has_duration = model.config.duration_predictor_layers > 0
     seq_sharded = seq_axis_size(mesh) > 1
 
@@ -239,6 +232,32 @@ def make_train_step(
             stats["notfinite_count"] = new_state.opt_state.notfinite_count
         return new_state, stats
 
+    return step_fn
+
+
+def make_train_step(
+    model: A3TMLMModel,
+    frontend: Optional[LogMelFrontend],
+    mesh=None,
+    speech_only: bool = False,
+    donate: bool = True,
+    normalizer=None,
+    use_fused: bool = True,
+    corpus=None,
+) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``corpus`` is the optional device-resident flat int16 PCM buffer
+    (RecordDataset.flat_pcm): batches then carry ``audio_offset`` and the
+    waveforms are gathered on device (see gather_audio).  It is passed to
+    the jitted function as an argument — the same buffer every call, so
+    there is no per-step transfer and no retracing.
+    """
+
+    step_fn = _make_step_core(model, frontend, mesh=mesh,
+                              speech_only=speech_only,
+                              normalizer=normalizer, use_fused=use_fused)
+
     donate_argnums = (0,) if donate else ()
     if mesh is None:
         jitted = jax.jit(step_fn, donate_argnums=donate_argnums)
@@ -253,6 +272,61 @@ def make_train_step(
     if corpus is None:
         return jitted
     return lambda state, batch, rng: jitted(state, batch, rng, corpus)
+
+
+def make_chained_train_step(
+    model: A3TMLMModel,
+    frontend: Optional[LogMelFrontend],
+    k: int,
+    speech_only: bool = False,
+    donate: bool = True,
+    normalizer=None,
+    use_fused: bool = True,
+    corpus=None,
+) -> Callable:
+    """``k`` optimizer steps per dispatch via an in-graph lax.scan.
+
+    (state, stacked_batch, rng, valid) -> (state, stacked_metrics): every
+    batch leaf carries a leading ``k`` axis; ``valid[i]=False`` sub-steps
+    (tail padding of a bucket's last group) leave the state untouched and
+    zero their metrics.  Per-sub-step dropout keys come from
+    ``jax.random.split(rng, k)``.
+
+    Why: on a remote-tunneled chip each dispatch pays a full round trip
+    (~120 ms measured) that the device cannot hide because consecutive
+    train steps are data-dependent.  Chaining k steps into one program
+    amortizes that to ~RTT/k; the same technique lets bench_step time
+    steady-state device speed.  The reference has no analogue — its
+    trainer blocks per step (espnet2/train/trainer.py:583-640).
+    """
+    if model.config.duration_predictor_layers > 0:
+        raise NotImplementedError(
+            "steps_per_dispatch > 1 is not wired for the duration/TTS "
+            "train step")
+
+    inner = _make_step_core(model, frontend, speech_only=speech_only,
+                            normalizer=normalizer, use_fused=use_fused)
+
+    def chained_fn(state, stacked, rng, valid, corpus=None):
+        keys = jax.random.split(rng, k)
+
+        def body(st, xs):
+            batch_i, key_i, v = xs
+            new_st, stats = inner(st, batch_i, key_i, corpus)
+            st = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(v, n, o), new_st, st)
+            stats = jax.tree_util.tree_map(
+                lambda s: jnp.where(v, s, jnp.zeros_like(s)), stats)
+            return st, stats
+
+        state, stats = jax.lax.scan(body, state, (stacked, keys, valid))
+        return state, stats
+
+    jitted = jax.jit(chained_fn, donate_argnums=(0,) if donate else ())
+    if corpus is None:
+        return jitted
+    return lambda state, stacked, rng, valid: jitted(
+        state, stacked, rng, valid, corpus)
 
 
 def make_tts_train_step(

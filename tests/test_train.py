@@ -624,3 +624,141 @@ def test_warm_start_grow_vocab(rng, tmp_path):
         else:
             np.testing.assert_allclose(np.asarray(w), np.asarray(t),
                                        rtol=1e-6)
+
+
+def test_chained_train_step_parity(rng):
+    """k-steps-per-dispatch scan == the same k steps applied sequentially
+    (bit-exact), and an invalid tail sub-step leaves the state untouched."""
+    from a3t_tpu.train.train_step import (
+        _make_step_core, make_chained_train_step)
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32))
+    k = 3
+    host_batches = [tiny_batch(np.random.default_rng(i), b=2)
+                    for i in range(k)]
+    batches = [{kk: jnp.asarray(v) for kk, v in b.items()}
+               for b in host_batches]
+    stacked = {kk: jnp.stack([b[kk] for b in batches])
+               for kk in batches[0]}
+    state0 = create_train_state(
+        model, tx, featurize(fe, batches[0], use_fused=False))
+
+    key = jax.random.PRNGKey(7)
+    chained = make_chained_train_step(model, fe, k, donate=False,
+                                      use_fused=False)
+    out_state, out_stats = chained(
+        state0, stacked, key, jnp.asarray([True, True, True]))
+
+    core = _make_step_core(model, fe, use_fused=False)
+    ref_state = state0
+    keys = jax.random.split(key, k)
+    losses = []
+    for b, kk in zip(batches, keys):
+        ref_state, s = jax.jit(core)(ref_state, b, kk)
+        losses.append(float(s["loss"]))
+    # the scan body and a standalone jit fuse differently, so gradients
+    # carry ~1e-7 fp32 noise — which adam's step-1 mhat/sqrt(vhat)
+    # (= sign(grad)) amplifies to ~2x lr for near-zero gradients.  The
+    # strong trajectory check is the per-sub-step loss sequence; params
+    # agree to absolute tolerance a few times the step-1 lr.
+    np.testing.assert_allclose(
+        np.asarray(out_stats["loss"]), np.asarray(losses), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(out_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+    # invalid tail: two valid sub-steps must reproduce the 2-step state
+    out2, stats2 = chained(
+        state0, stacked, key, jnp.asarray([True, True, False]))
+    ref2 = state0
+    for b, kk in list(zip(batches, keys))[:2]:
+        ref2, _ = jax.jit(core)(ref2, b, kk)
+    for a, b in zip(jax.tree_util.tree_leaves(out2.params),
+                    jax.tree_util.tree_leaves(ref2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    assert float(np.asarray(stats2["loss"])[2]) == 0.0  # masked tail
+    assert int(np.asarray(out2.step)) == 2
+
+
+def test_chained_epoch_iterator_groups(rng, tmp_path):
+    """chained_epoch_iterator covers every utterance exactly once per
+    epoch, groups are same-bucket, tails padded with valid=False."""
+    import os
+
+    from a3t_tpu.data.batcher import BatcherConfig, BucketBatcher
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.data.miniature import generate_mini_corpus
+    from a3t_tpu.text import TokenIDConverter, build_token_list
+    from a3t_tpu.data.fileio import read_2column_text
+
+    corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=11, fs=8000)
+    texts = read_2column_text(os.path.join(corpus, "text"))
+    conv = TokenIDConverter(build_token_list(texts.values()))
+    ds = A3TDataset(corpus, conv)
+    fe_cfg = tiny_frontend().config
+    batcher = BucketBatcher(ds, fe_cfg, BatcherConfig(
+        batch_bins=20 * 256 * 2, bucket_frames=[256], min_frames=1))
+
+    k = 4
+    total_valid = 0
+    for tag, stacked, valid, weights in batcher.chained_epoch_iterator(
+            0, k):
+        assert tag == "chained"
+        for v in stacked.values():
+            assert v.shape[0] == k
+        assert valid.shape == (k,) and weights.shape == (k,)
+        # padding is a suffix and weights agree with validity
+        assert (weights[~valid] == 0).all()
+        assert list(valid) == sorted(valid, reverse=True)
+        total_valid += int(valid.sum())
+    plain = sum(1 for _ in batcher.epoch_iterator(0))
+    assert total_valid == plain
+
+
+@pytest.mark.slow
+def test_cli_train_steps_per_dispatch(tmp_path):
+    """End-to-end CLI training with steps_per_dispatch=2: completes, step
+    count matches sub-steps, checkpoints load."""
+    import os
+
+    import yaml
+
+    from a3t_tpu.bin.train import main as train_main
+    from a3t_tpu.data.miniature import generate_mini_corpus
+    from a3t_tpu.tasks import MLMTask
+
+    corpus = generate_mini_corpus(str(tmp_path / "data"), n_utts=8,
+                                  fs=8000)
+    exp = str(tmp_path / "exp")
+    conf = {
+        "train_data_dir": corpus, "valid_data_dir": corpus,
+        "exp_dir": exp,
+        "frontend": {"fs": 8000, "n_fft": 256, "hop_length": 80,
+                     "win_length": 240, "n_mels": 20, "fmin": 20.0,
+                     "fmax": 4000.0},
+        "model": {"encoder": {"attention_dim": 32, "attention_heads": 2,
+                              "linear_units": 64, "num_blocks": 1,
+                              "cnn_module_kernel": 7},
+                  "decoder": None, "postnet_layers": 0},
+        "optim": {"model_size": 32, "warmup_steps": 10},
+        "batcher": {"batch_bins": 20 * 256 * 4, "bucket_frames": [256],
+                    "min_frames": 1},
+        "trainer": {"max_epoch": 2, "num_iters_per_epoch": 5,
+                    "keep_nbest_models": 1, "log_interval": 2,
+                    "steps_per_dispatch": 2},
+    }
+    conf_path = str(tmp_path / "c.yaml")
+    with open(conf_path, "w") as f:
+        yaml.safe_dump(conf, f)
+    train_main(["--config", conf_path, "--log-level", "WARNING"])
+
+    model, variables, cfg, conv = MLMTask.build_model_from_dir(exp)
+    from a3t_tpu.train.checkpoint import restore_portable
+
+    tree = restore_portable(os.path.join(exp, "checkpoints", "epoch_2"))
+    # 2 epochs x 5 sub-steps per epoch
+    assert int(np.asarray(tree["step"])) == 10
