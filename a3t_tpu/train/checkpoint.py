@@ -45,8 +45,21 @@ class CheckpointManager:
         return os.path.join(self.directory, "latest")
 
     # -- save / restore --------------------------------------------------
+    def flush(self):
+        """Block until any in-flight async save has finalized."""
+        self._ckpt.wait_until_finished()
+
     def save_epoch(self, epoch: int, state, reporter: Reporter):
-        """Save per-epoch weights + full resume state + prune to n-best."""
+        """Save per-epoch weights + full resume state + prune to n-best.
+
+        The orbax save runs asynchronously (it costs ~40 s on this fs and
+        would otherwise block the train loop once per epoch); the wait
+        happens at the START of the next save/restore instead, so the
+        write overlaps the following epoch's compute.  Crash safety:
+        orbax finalizes by renaming its tmp dir, and ``latest_epoch``
+        ignores a LATEST pointer whose directory never materialized.
+        """
+        self.flush()
         tree = {
             "step": state.step,
             "params": state.params,
@@ -56,8 +69,12 @@ class CheckpointManager:
         path = self._epoch_dir(epoch)
         if os.path.exists(path):
             shutil.rmtree(path)
+        # a crash mid-save leaves an unfinalized tmp dir behind; sweep any
+        # before reusing the name (orbax would otherwise error on it)
+        import glob as _glob
+        for stale in _glob.glob(path + ".orbax-checkpoint-tmp*"):
+            shutil.rmtree(stale)
         self._ckpt.save(path, tree)
-        self._ckpt.wait_until_finished()
         meta = {"epoch": epoch, "reporter": reporter.state_dict()}
         with open(os.path.join(self.directory, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -65,6 +82,15 @@ class CheckpointManager:
         with open(os.path.join(self.directory, "LATEST"), "w") as f:
             f.write(str(epoch))
         self._prune(reporter)
+
+    @staticmethod
+    def _epoch_of(name: str) -> Optional[int]:
+        """epoch_<n> -> n; None for anything else (incl. orbax tmp dirs,
+        which are named epoch_<n>.orbax-checkpoint-tmp* mid-save)."""
+        if not name.startswith("epoch_"):
+            return None
+        tail = name[len("epoch_"):]
+        return int(tail) if tail.isdigit() else None
 
     def _prune(self, reporter: Reporter):
         phase, key, mode = self.criterion
@@ -74,10 +100,8 @@ class CheckpointManager:
         # has no stats yet (e.g. training without a validation set)
         keep.add(reporter.epoch)
         for name in os.listdir(self.directory):
-            if not name.startswith("epoch_"):
-                continue
-            e = int(name.split("_")[1])
-            if e not in keep:
+            e = self._epoch_of(name)
+            if e is not None and e not in keep:
                 shutil.rmtree(os.path.join(self.directory, name))
 
     # -- mid-epoch (preemption-safety) checkpoints ------------------------
@@ -93,6 +117,7 @@ class CheckpointManager:
         step checkpoint up only when it is newer than the latest epoch.
         Only the most recent mid-epoch checkpoint is retained.
         """
+        self.flush()
         tree = {
             "step": state.step,
             "params": state.params,
@@ -163,14 +188,24 @@ class CheckpointManager:
             os.remove(meta)
 
     def latest_epoch(self) -> Optional[int]:
+        self.flush()  # settle any in-flight async save first
         marker = os.path.join(self.directory, "LATEST")
         if not os.path.exists(marker):
             return None
         e = int(open(marker).read().strip())
-        return e if os.path.exists(self._epoch_dir(e)) else None
+        if os.path.exists(self._epoch_dir(e)):
+            return e
+        # the async save behind the LATEST pointer never finalized (crash
+        # mid-write): fall back to the newest epoch that did materialize
+        done = [self._epoch_of(n) for n in os.listdir(self.directory)]
+        done = [d for d in done if d is not None
+                and os.path.exists(os.path.join(self._epoch_dir(d),
+                                                "_CHECKPOINT_METADATA"))]
+        return max(done) if done else None
 
     def restore(self, epoch: int, template_state):
         """Restore a TrainState (template supplies structure + shardings)."""
+        self.flush()
         tree = {
             "step": template_state.step,
             "params": template_state.params,
@@ -197,6 +232,7 @@ class CheckpointManager:
     # -- n-best averaging (average_nbest_models.py analogue) -------------
     def average_nbest(self, reporter: Reporter, template_params,
                       n: Optional[int] = None):
+        self.flush()
         phase, key, mode = self.criterion
         n = n if n is not None else self.keep_nbest
         epochs = [
@@ -226,6 +262,35 @@ class CheckpointManager:
         return avg, epochs
 
 
+def wait_finalized(path: str, timeout: float = 180.0):
+    """Block until an (async-saved) checkpoint directory is finalized.
+
+    ``CheckpointManager.save_epoch`` initiates orbax saves asynchronously;
+    orbax finalizes by renaming ``<path>.orbax-checkpoint-tmp-<ts>`` to
+    ``<path>`` and writing ``_CHECKPOINT_METADATA``.  External readers
+    (export_params, curve evals) can race that rename, so poll for the
+    finalize marker before reading.
+    """
+    import glob
+    import time
+
+    probe = os.path.join(path, "_CHECKPOINT_METADATA")
+    deadline = time.monotonic() + timeout
+    while not os.path.exists(probe):
+        # fail fast when nothing is (or was ever) being written here
+        # (re-probe the marker once first: the tmp dir may have been
+        # renamed to `path` between the loop test and this check)
+        if (not glob.glob(path + ".orbax-checkpoint-tmp*")
+                and not os.path.exists(path)
+                and not os.path.exists(probe)):
+            raise FileNotFoundError(f"no checkpoint at {path}")
+        if time.monotonic() >= deadline:
+            raise FileNotFoundError(
+                f"checkpoint at {path} never finalized (waited {timeout}s); "
+                "was the saving process killed mid-write?")
+        time.sleep(0.2)
+
+
 def restore_portable(path: str):
     """Restore a checkpoint on any backend (drops saved device shardings).
 
@@ -235,6 +300,7 @@ def restore_portable(path: str):
     Rebuild the abstract template from the checkpoint's own array metadata
     so the restore targets the local backend instead.
     """
+    wait_finalized(path)
     ckpt = ocp.StandardCheckpointer()
     meta = ckpt.metadata(path).item_metadata.tree
     sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])

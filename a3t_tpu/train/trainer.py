@@ -252,6 +252,8 @@ class Trainer:
                 self.ckpt.average_nbest(self.reporter, state.params)
             except ValueError:
                 pass
+        if self.ckpt is not None:
+            self.ckpt.flush()  # final epoch's async save must land
         return state
 
     def train_one_epoch(self, state, epoch: int, skip_iters: int = 0):

@@ -185,6 +185,9 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp):
                     "num_iters_per_epoch": args.iters_per_epoch,
                     "keep_nbest_models": 5, "log_interval": 50,
                     "resume": True,
+                    # one dispatch per k steps: the remote tunnel charges
+                    # ~120 ms RTT per dispatch on top of the ~180 ms step
+                    "steps_per_dispatch": args.steps_per_dispatch,
                     # cross-session stash (bin/export_params): warm-start
                     # when the workdir was wiped and no resume ckpt exists;
                     # absent stash (very first run) falls through to random
@@ -425,6 +428,7 @@ def main():
                     help="params-only orbax dir (bin/export_params stash) "
                          "to warm-start from when no resume ckpt exists")
     ap.add_argument("--batch-bins", type=int, default=3000000)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1)
     ap.add_argument("--no-device-audio", action="store_true",
                     help="ship per-step PCM from host instead of the "
                          "HBM-resident corpus gather")
