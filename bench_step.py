@@ -45,18 +45,26 @@ def build(variant: str):
     # production 24 kHz shape unless a variant overrides
     fe_kw: dict = {}
     hop, n_frames, batch_size = HOP, N_FRAMES, BATCH
-    if variant in ("longformer", "longformer_chunked"):
+    long_variants = ("longformer", "longformer_chunked", "full_4096",
+                     "longformer_8192", "longformer_chunked_8192",
+                     "full_8192")
+    if variant in long_variants:
         # long-audio path: 16 kHz front-end (tasks/mlm.py:544-548),
-        # T=4096-frame utterances, same 3e6-numel budget -> batch 9;
-        # banded Pallas kernel vs XLA chunked einsum
+        # T=4096/8192-frame utterances, same 3e6-numel budget -> batch
+        # 9/4; banded Pallas kernel vs XLA chunked einsum vs full (flash)
+        # attention — which attention wins at each production length
+        # (reference long-audio kernel: diagonaled_mm_tvm.py:8-329)
         fe_kw = dict(fs=16000, n_fft=1024, hop_length=200, win_length=800)
-        hop, n_frames, batch_size = 200, 4096, 9
+        T = 8192 if variant.endswith("8192") else 4096
+        hop, n_frames, batch_size = 200, T, (4 if T == 8192 else 9)
         for kw in (enc_kw, dec_kw):
-            kw["selfattention_layer_type"] = "longformer"
-            kw["attention_window"] = 256
-            # banded kernel is exact-softmax: attention dropout inactive
+            # exact-softmax comparisons: attention dropout off everywhere
             kw["attention_dropout_rate"] = 0.0
-            kw["use_pallas_attention"] = variant == "longformer"
+            if not variant.startswith("full"):
+                kw["selfattention_layer_type"] = "longformer"
+                kw["attention_window"] = 256
+                kw["use_pallas_attention"] = variant.startswith(
+                    "longformer") and "chunked" not in variant
     if variant == "fp32":
         enc_kw["compute_dtype"] = dec_kw["compute_dtype"] = "float32"
     if variant == "xla_attn":
