@@ -329,6 +329,46 @@ def test_checkpoint_roundtrip_and_nbest(rng, tmp_path):
     )
 
 
+def test_latest_epoch_survives_crash_mid_async_save(rng, tmp_path):
+    """A process killed between writing the LATEST pointer and the async
+    orbax finalize leaves a stale pointer + an unfinalized tmp dir; resume
+    must fall back to the newest epoch that DID finalize, and the next
+    save_epoch must sweep the stale tmp dir instead of erroring."""
+    import os
+
+    from a3t_tpu.train.reporter import Reporter
+
+    model = tiny_model()
+    fe = tiny_frontend()
+    tx = make_optimizer(OptimConfig(model_size=32))
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(rng).items()}
+    state = create_train_state(
+        model, tx, featurize(fe, batch, use_fused=False))
+
+    d = tmp_path / "ckpt"
+    mgr = CheckpointManager(str(d), keep_nbest=2)
+    rep = Reporter()
+    rep.start_epoch(1)
+    rep.phase("valid").register({"loss": 1.0})
+    rep.finish_epoch()
+    mgr.save_epoch(1, state.replace(step=jnp.asarray(1)), rep)
+    mgr.flush()
+
+    # simulate the crash: epoch 2's save never finalized
+    os.makedirs(d / "epoch_2.orbax-checkpoint-tmp-123")
+    (d / "LATEST").write_text("2")
+    assert mgr.latest_epoch() == 1
+    assert CheckpointManager(str(d)).latest_epoch() == 1  # fresh process
+
+    # retrying epoch 2 sweeps the stale tmp dir and lands cleanly
+    rep.start_epoch(2)
+    rep.phase("valid").register({"loss": 0.5})
+    rep.finish_epoch()
+    mgr.save_epoch(2, state.replace(step=jnp.asarray(2)), rep)
+    assert mgr.latest_epoch() == 2
+    assert not any("tmp" in n for n in os.listdir(d))
+
+
 def test_restore_portable_roundtrip(rng, tmp_path):
     """restore_portable rebuilds the template from checkpoint metadata, so
     a checkpoint loads without the saver's device topology (TPU-trained
