@@ -109,13 +109,18 @@ class CheckpointManager:
         return os.path.join(self.directory, f"step_e{epoch}_i{iteration}")
 
     def save_mid_epoch(self, epoch: int, iteration: int, state,
-                       reporter: Reporter):
+                       reporter: Reporter, steps_per_dispatch: int = 1):
         """Save full training state mid-epoch under a step-keyed name.
 
         Unlike :meth:`save_epoch` this does not touch the epoch
         checkpoints, n-best ranking or the LATEST pointer; resume picks the
         step checkpoint up only when it is newer than the latest epoch.
         Only the most recent mid-epoch checkpoint is retained.
+
+        ``steps_per_dispatch`` is recorded so resume can verify the replay
+        advances the data stream in the same group size: the chained plan
+        orders data differently and skips in whole-group jumps, so a k
+        mismatch would silently drop or replay up to k-1 batches.
         """
         self.flush()
         tree = {
@@ -131,6 +136,7 @@ class CheckpointManager:
         self._ckpt.wait_until_finished()
         with open(os.path.join(self.directory, "meta_step.json"), "w") as f:
             json.dump({"epoch": epoch, "iteration": iteration,
+                       "steps_per_dispatch": steps_per_dispatch,
                        "reporter": reporter.state_dict()}, f)
         for name in os.listdir(self.directory):
             if name.startswith("step_") and name != os.path.basename(path):
@@ -148,17 +154,31 @@ class CheckpointManager:
                 best = key
         return best
 
-    def restore_mid_epoch(self, template_state, reporter: Reporter):
+    def restore_mid_epoch(self, template_state, reporter: Reporter,
+                          steps_per_dispatch: int = 1):
         """Restore the newest mid-epoch checkpoint.
 
         Returns (state, epoch, iteration); caller resumes that epoch
         skipping the first ``iteration`` batches (data order is epoch-seeded
-        so the skipped prefix is identical).
+        so the skipped prefix is identical).  Raises ``ValueError`` when the
+        checkpoint was saved under a different ``steps_per_dispatch`` — the
+        chained replay could not land on the saved sub-step boundary (the
+        caller should fall back to the last epoch checkpoint).
         """
         key = self.latest_mid_epoch()
         if key is None:
             raise FileNotFoundError("no mid-epoch checkpoint")
         epoch, iteration = key
+        meta_probe = os.path.join(self.directory, "meta_step.json")
+        if os.path.exists(meta_probe):
+            with open(meta_probe) as f:
+                saved_k = int(json.load(f).get("steps_per_dispatch", 1))
+            if saved_k != steps_per_dispatch:
+                raise ValueError(
+                    f"mid-epoch checkpoint was saved with steps_per_dispatch"
+                    f"={saved_k} but the run now uses {steps_per_dispatch}; "
+                    "the data-stream replay cannot reach the saved sub-step "
+                    "boundary — falling back to the epoch checkpoint")
         tree = {
             "step": template_state.step,
             "params": template_state.params,
@@ -220,14 +240,29 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
         )
 
-    def restore_reporter(self, reporter: Reporter) -> Optional[int]:
+    def restore_reporter(self, reporter: Reporter,
+                         up_to_epoch: Optional[int] = None) -> Optional[int]:
+        """Load reporter history from meta.json.
+
+        ``up_to_epoch`` drops history entries newer than the epoch whose
+        weights actually exist: after a crash mid async save, meta.json may
+        record an epoch whose checkpoint never finalized, and a phantom
+        entry would skew n-best ranking / early stopping until the epoch
+        re-finishes.
+        """
         meta_path = os.path.join(self.directory, "meta.json")
         if not os.path.exists(meta_path):
             return None
         with open(meta_path) as f:
             meta = json.load(f)
         reporter.load_state_dict(meta["reporter"])
-        return int(meta["epoch"])
+        epoch = int(meta["epoch"])
+        if up_to_epoch is not None and epoch > up_to_epoch:
+            reporter.history = {e: h for e, h in reporter.history.items()
+                                if e <= up_to_epoch}
+            reporter.epoch = up_to_epoch
+            epoch = up_to_epoch
+        return epoch
 
     # -- n-best averaging (average_nbest_models.py analogue) -------------
     def average_nbest(self, reporter: Reporter, template_params,
@@ -277,6 +312,12 @@ def wait_finalized(path: str, timeout: float = 180.0):
     probe = os.path.join(path, "_CHECKPOINT_METADATA")
     deadline = time.monotonic() + timeout
     while not os.path.exists(probe):
+        # a checkpoint written without the finalize marker (older orbax, a
+        # foreign export) is still restorable: a directory holding _METADATA
+        # with no in-flight tmp sibling is not a save in progress
+        if (os.path.exists(os.path.join(path, "_METADATA"))
+                and not glob.glob(path + ".orbax-checkpoint-tmp*")):
+            return
         # fail fast when nothing is (or was ever) being written here
         # (re-probe the marker once first: the tmp dir may have been
         # renamed to `path` between the loop test and this check)
@@ -300,6 +341,7 @@ def restore_portable(path: str):
     Rebuild the abstract template from the checkpoint's own array metadata
     so the restore targets the local backend instead.
     """
+    path = os.path.abspath(path)  # orbax metadata() is None on relative paths
     wait_finalized(path)
     ckpt = ocp.StandardCheckpointer()
     meta = ckpt.metadata(path).item_metadata.tree
@@ -310,7 +352,8 @@ def restore_portable(path: str):
     return ckpt.restore(path, abstract)
 
 
-def warm_start_params(template_params, path: str, grow_vocab: bool = False):
+def warm_start_params(template_params, path: str, grow_vocab: bool = False,
+                      allow_missing: bool = False):
     """Load a params-only checkpoint onto a live train state's layout.
 
     ``path`` holds ``{"params": ...}`` (an ``ave_*`` export, an epoch
@@ -327,17 +370,44 @@ def warm_start_params(template_params, path: str, grow_vocab: bool = False):
     new tokens.txt must extend the pretraining one in-order.  This is the
     partial-load half of the reference's --init_param `:::exclude` syntax
     (load_pretrained_model.py:43-102) redone for vocab growth.
+
+    ``allow_missing=True`` permits the model to have params the checkpoint
+    lacks (e.g. fine-tuning with a newly added conditioning module): those
+    leaves keep the template's fresh init.  Checkpoint leaves absent from
+    the model still raise — that is a config mismatch, not growth.
     """
     tree = restore_portable(path)
     loaded = tree.get("params", tree)
-    loaded_flat, loaded_def = jax.tree_util.tree_flatten(loaded)
-    tmpl_flat, tmpl_def = jax.tree_util.tree_flatten(template_params)
-    if loaded_def != tmpl_def:
+    loaded_by_path = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_flatten_with_path(loaded)[0]}
+    tmpl_paths, tmpl_def = jax.tree_util.tree_flatten_with_path(
+        template_params)
+    tmpl_keys = {jax.tree_util.keystr(k) for k, _ in tmpl_paths}
+    extra = sorted(set(loaded_by_path) - tmpl_keys)
+    if extra:
         raise ValueError(
-            f"warm-start params structure mismatch: {path} does not match "
-            f"the model (did the config change?)")
+            f"warm-start params structure mismatch: {path} holds params "
+            f"the model lacks (first: {extra[:3]}) — did the config "
+            "change?")
+    fresh = sorted(tmpl_keys - set(loaded_by_path))
+    if fresh and not allow_missing:
+        raise ValueError(
+            f"warm-start params structure mismatch: model params missing "
+            f"from {path} (first: {fresh[:3]}); pass allow_missing=True "
+            "to keep their fresh init (new-module fine-tune)")
+    if fresh:
+        import logging
+
+        logging.getLogger("a3t_tpu").info(
+            "warm-start: %d param leaves not in %s keep fresh init "
+            "(first: %s)", len(fresh), path, fresh[:3])
     out = []
-    for t, x in zip(tmpl_flat, loaded_flat):
+    for key, t in tmpl_paths:
+        x = loaded_by_path.get(jax.tree_util.keystr(key))
+        if x is None:
+            out.append(t)
+            continue
         if x.shape != t.shape:
             vocab_growth = (
                 grow_vocab and len(x.shape) == len(t.shape)

@@ -109,6 +109,10 @@ class TrainerConfig:
     # with init_params_dir: allow the target model's token list to EXTEND
     # the pretraining one (new embedding rows keep their fresh init)
     init_params_grow_vocab: bool = False
+    # with init_params_dir: allow the model to hold params the stash lacks
+    # (e.g. fine-tuning after adding spemb conditioning); they keep their
+    # fresh init
+    init_params_allow_missing: bool = False
     # optimizer steps fused into one device dispatch (lax.scan over
     # same-bucket batch groups).  >1 amortizes per-dispatch latency —
     # decisive on a remote-tunneled chip where every dispatch pays a full
@@ -160,23 +164,33 @@ class Trainer:
             latest = self.ckpt.latest_epoch()
             if latest is not None:
                 state = self.ckpt.restore(latest, state)
-                self.ckpt.restore_reporter(self.reporter)
+                # truncate any phantom history newer than the epoch whose
+                # weights exist (crash between meta.json and orbax finalize)
+                self.ckpt.restore_reporter(self.reporter,
+                                           up_to_epoch=latest)
                 start_epoch = latest + 1
                 logger.info("resumed from epoch %d", latest)
             mid = self.ckpt.latest_mid_epoch()
             if mid is not None and mid[0] >= start_epoch:
                 # a mid-epoch save is newer than the last full epoch:
                 # resume inside that epoch, fast-forwarding the data stream
-                state, epoch_m, skip_iters = self.ckpt.restore_mid_epoch(
-                    state, self.reporter)
-                start_epoch = epoch_m
-                logger.info("resumed mid-epoch %d at iter %d",
-                            epoch_m, skip_iters)
+                try:
+                    state, epoch_m, skip_iters = self.ckpt.restore_mid_epoch(
+                        state, self.reporter,
+                        steps_per_dispatch=cfg.steps_per_dispatch)
+                    start_epoch = epoch_m
+                    logger.info("resumed mid-epoch %d at iter %d",
+                                epoch_m, skip_iters)
+                except ValueError as e:
+                    # saved under a different steps_per_dispatch: the replay
+                    # can't reach the saved boundary — keep the epoch restore
+                    logger.warning("%s", e)
         if cfg.init_params_dir and start_epoch == 1 and skip_iters == 0:
             state = state.replace(
                 params=warm_start_params(
                     state.params, cfg.init_params_dir,
-                    grow_vocab=cfg.init_params_grow_vocab))
+                    grow_vocab=cfg.init_params_grow_vocab,
+                    allow_missing=cfg.init_params_allow_missing))
             logger.info("warm-started params from %s", cfg.init_params_dir)
 
         run_t0 = time.perf_counter()
@@ -302,6 +316,7 @@ class Trainer:
                 steps_done += n_valid
                 self._last_epoch_steps += n_valid
                 pending.append(("chained", stats, weights, valid))
+                step_div = max(n_valid, 1)
             else:
                 state, stats = self.train_step(state, batch, step_rng)
                 steps_done += 1
@@ -311,12 +326,16 @@ class Trainer:
                 # feeding the chip (the reference blocks per step for its
                 # reporter).
                 pending.append((stats, _batch_weight(batch)))
+                step_div = 1
             t_last = time.perf_counter()
-            sub.register_time("step", t_last - t0)
+            # one chained dispatch covers n_valid sub-steps; normalize so
+            # the logged ms/step is per optimizer step in both modes
+            sub.register_time("step", (t_last - t0) / step_div)
             if (cfg.save_interval_steps and self.ckpt is not None
                     and steps_done - last_saved >= cfg.save_interval_steps):
-                self.ckpt.save_mid_epoch(epoch, steps_done, state,
-                                         self.reporter)
+                self.ckpt.save_mid_epoch(
+                    epoch, steps_done, state, self.reporter,
+                    steps_per_dispatch=cfg.steps_per_dispatch)
                 last_saved = steps_done
             if steps_done - last_logged >= cfg.log_interval:
                 last_logged = steps_done

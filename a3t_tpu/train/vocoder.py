@@ -116,9 +116,13 @@ class VocoderData:
         from a3t_tpu.dsp.frontend import corpus_mvn, extract_corpus_mels
 
         self.hop = fe_cfg.hop_length
+        import hashlib
+
+        with open(wav_scp, "rb") as f:
+            scp_md5 = hashlib.md5(f.read()).hexdigest()
         cache_key = json.dumps({
             "fe": dataclasses.asdict(fe_cfg), "max_utts": max_utts,
-            "scp_bytes": os.path.getsize(wav_scp)}, sort_keys=True)
+            "scp_md5": scp_md5}, sort_keys=True)
         if cache_path and os.path.exists(cache_path):
             # one flat-file read replaces 12k wav decodes + the on-device
             # mel sweep — training restarts in bounded chunks pay corpus
