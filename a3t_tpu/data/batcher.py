@@ -81,10 +81,16 @@ class BucketBatcher:
         frontend: LogMelConfig,
         config: BatcherConfig = BatcherConfig(),
         n_mels: Optional[int] = None,
+        spemb_map: Optional[dict] = None,
     ):
         self.dataset = dataset
         self.fe = frontend
         self.config = config
+        # uid -> x-vector; batches gain a float32 "spemb" (B, E) field
+        # (speaker conditioning, A3TModelConfig.spemb_dim)
+        self.spemb_map = spemb_map
+        self._spemb_dim = (len(next(iter(spemb_map.values())))
+                           if spemb_map else 0)
         n_mels = n_mels if n_mels is not None else frontend.n_mels
 
         hop = frontend.hop_length
@@ -296,6 +302,11 @@ class BucketBatcher:
             out["audio_offset"] = audio_offset
         else:
             out["audio"] = audio
+        if self.spemb_map is not None:
+            spemb = np.zeros((b, self._spemb_dim), np.float32)
+            for i, uid in enumerate(uids):
+                spemb[i] = self.spemb_map[uid]
+            out["spemb"] = spemb
         if cfg.duration_collect:
             out["durations"] = durations
             out["reordered_index"] = reordered

@@ -308,6 +308,7 @@ class SpeechEditor:
         frame_bucket: int = 64,
         text_bucket: int = 8,
         normalizer=None,
+        spemb_fn: Optional[Callable] = None,
     ):
         self.model = model
         self.variables = variables
@@ -320,6 +321,11 @@ class SpeechEditor:
         self.g2p = g2p
         self.frame_bucket = frame_bucket
         self.text_bucket = text_bucket
+        # speaker-conditioned models (A3TModelConfig.spemb_dim > 0):
+        # callable (audio, context_frame_mask) -> x-vector, built by
+        # models/xvector.py::make_spemb_extractor — pools the UNMASKED
+        # context only, so nothing of the span being regenerated leaks in
+        self.spemb_fn = spemb_fn
 
         self._jit_forward = jax.jit(
             functools.partial(self.model.apply, train=False))
@@ -481,7 +487,7 @@ class SpeechEditor:
         ids = np.zeros(t_pad, np.int32)
         ids[:t_len] = self.tokens.tokens2ids(phones)
         text_mask = np.arange(t_pad) < t_len
-        return dict(
+        out = dict(
             speech=feats,
             text=jnp.asarray(ids[None]),
             masked_position=jnp.asarray(masked[None]),
@@ -490,6 +496,12 @@ class SpeechEditor:
             speech_segment_pos=jnp.asarray(ssp[None]),
             text_segment_pos=jnp.asarray(tsp[None]),
         )
+        if getattr(self.model.config, "spemb_dim", 0) > 0 \
+                and self.spemb_fn is not None:
+            se = self.spemb_fn(audio, speech_mask & ~masked)
+            out["spemb"] = jnp.asarray(
+                np.asarray(se, np.float32)[None])
+        return out
 
     def _reconstruct(
         self, wav: np.ndarray, phones: list[str],

@@ -84,6 +84,15 @@ class A3TModelConfig:
     use_mse_loss: bool = False
     mlm_prob: float = 0.8
     mean_phn_span: int = 8
+    # > 0 conditions both modalities on an utterance-level speaker
+    # embedding (x-vector), L2-normalized then projected and added — the
+    # espnet2 spk_embed integration recipe (tts/fastspeech2/fastspeech2.py
+    # "add" projection) applied to the MLM.  The reference MLM omits this
+    # (sedit_model.py:246 accepts `spembs` but never uses them) and must
+    # infer speaker identity from unmasked context alone; measured on the
+    # 16-speaker soak corpus that fails on short context (docs/QUALITY.md),
+    # so the TPU rebuild makes the conditioning real.
+    spemb_dim: int = 0
 
 
 class A3TMLMModel(nn.Module):
@@ -129,6 +138,10 @@ class A3TMLMModel(nn.Module):
                                         embedding_init=normal_init,
                                         name="segment_emb")
 
+        if c.spemb_dim > 0:
+            self.spemb_proj = nn.Dense(d, kernel_init=xavier(),
+                                       bias_init=zeros, name="spemb_proj")
+
         if enc.pre_speech_layers > 0:
             pre_cfg = dataclasses.replace(enc, num_blocks=enc.pre_speech_layers)
             self.pre_speech_encoders = ConformerStack(
@@ -166,6 +179,7 @@ class A3TMLMModel(nn.Module):
         text_segment_pos,
         train: bool = False,
         speech_only: bool = False,
+        spemb=None,
     ):
         """Embed both modalities and run the encoder stack.
 
@@ -196,6 +210,18 @@ class A3TMLMModel(nn.Module):
             else:
                 h_speech = h_speech + self.segment_emb(speech_segment_pos)
                 h_text = h_text + self.segment_emb(text_segment_pos)
+
+        if c.spemb_dim > 0:
+            if spemb is None:
+                # graceful no-embedding path (e.g. enrolment audio absent):
+                # the zero vector projects to the bias alone
+                spemb = jnp.zeros((speech.shape[0], c.spemb_dim),
+                                  jnp.float32)
+            se = spemb / (jnp.linalg.norm(spemb, axis=-1, keepdims=True)
+                          + 1e-8)
+            se = self.spemb_proj(se.astype(h_speech.dtype))[:, None, :]
+            h_speech = h_speech + se
+            h_text = h_text + se
 
         n_frames = speech.shape[1]
         if c.encoder.pre_speech_layers > 0:
@@ -234,6 +260,7 @@ class A3TMLMModel(nn.Module):
         text_segment_pos,
         train: bool = False,
         speech_only: bool = False,
+        spemb=None,
     ):
         """Returns (before_outs, after_outs, log_durations).
 
@@ -246,7 +273,7 @@ class A3TMLMModel(nn.Module):
         enc_out, mask = self.encode(
             speech, text, masked_position, speech_mask, text_mask,
             speech_segment_pos, text_segment_pos, train=train,
-            speech_only=speech_only,
+            speech_only=speech_only, spemb=spemb,
         )
         log_durations = None
         if c.duration_predictor_layers > 0:
@@ -278,6 +305,7 @@ class A3TMLMModel(nn.Module):
         durations,  # (B, R) frames per reduced position (1 for unmasked)
         out_frames: int,  # static full-resolution frame count
         train: bool = False,
+        spemb=None,
     ):
         """Duration-aware TTS variant forward (ESPnetMLMTTSModel._forward,
         sedit_model.py:415-452).
@@ -294,7 +322,7 @@ class A3TMLMModel(nn.Module):
         n_red = speech.shape[1]
         enc_out, _ = self.encode(
             speech, text, masked_position, speech_mask, text_mask,
-            speech_segment_pos, text_segment_pos, train=train,
+            speech_segment_pos, text_segment_pos, train=train, spemb=spemb,
         )
         log_d = self.duration_predictor(
             enc_out[:, :n_red], pad_mask=~speech_mask, deterministic=not train)

@@ -307,3 +307,36 @@ def build_spk2xvector(
 def load_spk2xvector(path: str) -> dict[str, np.ndarray]:
     data = np.load(path)
     return {k: data[k] for k in data.files}
+
+
+def make_spemb_extractor(xv_dir: str, frontend):
+    """Context-masked utterance-level x-vector extractor for inference.
+
+    Returns ``fn(audio (S,) float32, frame_mask (F,) bool) -> (E,)``.
+    Frames where ``frame_mask`` is False — padding AND the masked edit
+    span — are excluded from the statistics pooling, so the embedding is
+    computed from the unmasked context alone and carries no information
+    about the content being reconstructed (leak-free under the
+    replaced-span MCD protocol, sedit_mcd.py:43-135).  Wired into
+    :class:`a3t_tpu.inference.SpeechEditor` via its ``spemb_fn`` arg.
+    """
+    model, variables, mvn = load_xvector(xv_dir)
+    mean = jnp.asarray(mvn[0])
+    std = jnp.asarray(mvn[1])
+
+    @jax.jit
+    def _embed(audio, mask):
+        feats, _ = frontend(audio)
+        feats = (feats - mean) / std
+        n_f = min(feats.shape[1], mask.shape[1])
+        emb, _ = model.apply(variables, feats[:, :n_f], mask[:, :n_f],
+                             train=False)
+        return emb
+
+    def fn(audio: np.ndarray, frame_mask: np.ndarray) -> np.ndarray:
+        audio = np.ascontiguousarray(audio, np.float32)
+        mask = np.ascontiguousarray(frame_mask, bool)
+        return np.asarray(
+            _embed(jnp.asarray(audio[None]), jnp.asarray(mask[None])))[0]
+
+    return fn

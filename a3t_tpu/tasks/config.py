@@ -52,6 +52,10 @@ class A3TTaskConfig:
     # mlm.sh:537); global_mvn reads ``stats_file`` (collect_stats output)
     normalize: str = "none"
     stats_file: str = ""
+    # x-vector .npz for speaker conditioning (model.spemb_dim > 0): keys
+    # are speaker names (spk2xvector, resolved through each data dir's
+    # utt2spk) and/or utterance ids (direct per-utt embeddings)
+    spemb_file: str = ""
     # components
     frontend: LogMelConfig = dataclasses.field(default_factory=LogMelConfig)
     model: A3TModelConfig = dataclasses.field(default_factory=A3TModelConfig)

@@ -108,7 +108,45 @@ class MLMTask:
             # duration-aware variant auto-enables duration_collect
             # (tasks/mlm.py:286-289)
             bcfg = dataclasses.replace(bcfg, duration_collect=True)
-        return BucketBatcher(ds, cfg.frontend, bcfg)
+        spemb_map = None
+        if cfg.model.spemb_dim > 0 and cfg.spemb_file:
+            spemb_map = cls._build_spemb_map(cfg, ds, data_dir)
+        return BucketBatcher(ds, cfg.frontend, bcfg, spemb_map=spemb_map)
+
+    @classmethod
+    def _build_spemb_map(cls, cfg: A3TTaskConfig, ds, data_dir: str) -> dict:
+        """uid -> x-vector from ``cfg.spemb_file``.
+
+        The .npz is keyed by speaker (generate_spk2xv.py analogue) and/or
+        by uid; speakers resolve through the data dir's utt2spk / the
+        dataset's per-item speaker field.  Every uid must resolve — a
+        silent zero-vector would train the conditioning to be ignorable.
+        """
+        from a3t_tpu.data.fileio import read_2column_text
+
+        table = {k: np.asarray(v, np.float32)
+                 for k, v in np.load(cfg.spemb_file).items()}
+        utt2spk_path = os.path.join(data_dir, "utt2spk")
+        utt2spk = (read_2column_text(utt2spk_path)
+                   if os.path.exists(utt2spk_path) else {})
+        spemb_map = {}
+        missing = []
+        for uid in ds.uids:
+            if uid in table:
+                spemb_map[uid] = table[uid]
+                continue
+            spk = utt2spk.get(uid)
+            if spk is None and hasattr(ds, "get_meta"):
+                spk = ds.get_meta(uid).get("speaker")
+            if spk in table:
+                spemb_map[uid] = table[spk]
+            else:
+                missing.append(uid)
+        if missing:
+            raise ValueError(
+                f"spemb_file {cfg.spemb_file} has no embedding for "
+                f"{len(missing)} utts of {data_dir} (first: {missing[:3]})")
+        return spemb_map
 
     # ------------------------------------------------------------------
     @classmethod
@@ -225,7 +263,7 @@ class MLMTask:
                 k: v for k, v in sample.items()
                 if k in ("audio", "audio_offset", "audio_lengths", "text",
                          "text_mask", "masked_position",
-                         "speech_segment_pos", "text_segment_pos")
+                         "speech_segment_pos", "text_segment_pos", "spemb")
             }, use_fused=False, corpus=corpus),
             rng=jax.random.PRNGKey(cfg.trainer.seed))
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))

@@ -131,7 +131,7 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
     # Reference multiplies the sampled mask by the non-pad mask
     # (collate_fn.py:381-382).
     masked_position = batch["masked_position"] & speech_mask
-    return dict(
+    out = dict(
         speech=feats,
         text=batch["text"],
         masked_position=masked_position,
@@ -140,6 +140,10 @@ def featurize(frontend: LogMelFrontend, batch: dict, use_fused: bool = True,
         speech_segment_pos=batch["speech_segment_pos"],
         text_segment_pos=batch["text_segment_pos"],
     )
+    if "spemb" in batch:
+        # utterance-level x-vector conditioning (A3TModelConfig.spemb_dim)
+        out["spemb"] = batch["spemb"]
+    return out
 
 
 def constrain_time_sharding(mb: dict, mesh) -> dict:

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/root/soak")
+    ap.add_argument("--exp-name", default="exp",
+                    help="experiment dir name under the workdir")
     ap.add_argument("--epoch", type=int, required=True)
     ap.add_argument("--vocoder", default="",
                     help="trained vocoder dir; empty = Griffin-Lim")
@@ -48,14 +50,16 @@ def main() -> None:
     from a3t_tpu.tasks import MLMTask
 
     w = args.workdir
-    snap = os.path.join(w, "curve_ckpts")
+    exp = os.path.join(w, args.exp_name)
+    snap = os.path.join(w, f"curve_ckpts_{args.exp_name}"
+                        if args.exp_name != "exp" else "curve_ckpts")
     os.makedirs(os.path.join(snap, "checkpoints"), exist_ok=True)
     dst = os.path.join(snap, "checkpoints", f"epoch_{args.epoch}")
     if not os.path.exists(dst):
-        src = os.path.join(w, "exp", "checkpoints", f"epoch_{args.epoch}")
+        src = os.path.join(exp, "checkpoints", f"epoch_{args.epoch}")
         shutil.copytree(src, dst)
     for name in ("config.yaml", "tokens.txt"):
-        shutil.copy(os.path.join(w, "exp", name), os.path.join(snap, name))
+        shutil.copy(os.path.join(exp, name), os.path.join(snap, name))
 
     model, variables, cfg, conv = MLMTask.build_model_from_dir(
         snap, which=str(args.epoch))
@@ -68,6 +72,14 @@ def main() -> None:
 
         vocoder = load_vocoder(args.vocoder)
 
+    spemb_fn = None
+    if getattr(cfg.model, "spemb_dim", 0) > 0:
+        from a3t_tpu.dsp import LogMelFrontend
+        from a3t_tpu.models.xvector import make_spemb_extractor
+
+        spemb_fn = make_spemb_extractor(
+            os.path.join(w, "exp_xvector"), LogMelFrontend(cfg.frontend))
+
     report = {"checkpoint": f"epoch_{args.epoch}",
               "vocoder": args.vocoder or "griffin-lim"}
     for split in ("eval_seen", "eval_unseen"):
@@ -76,11 +88,13 @@ def main() -> None:
         lexicon = {p.upper(): [p] for t in texts.values()
                    for p in t.split()}
         editor = SpeechEditor(model, variables, cfg.frontend, conv,
-                              lexicon=lexicon, vocoder=vocoder)
+                              lexicon=lexicon, vocoder=vocoder,
+                              spemb_fn=spemb_fn)
         ds = A3TDataset(split_dir, conv)
         aligner = FileAlignmentSource(split_dir)
         uids = ds.uids[: args.eval_utts] if args.eval_utts else ds.uids
-        out_dir = os.path.join(w, "mcd_out", f"curve_e{args.epoch}", split)
+        out_dir = os.path.join(w, "mcd_out", args.exp_name,
+                               f"curve_e{args.epoch}", split)
         result = run_gate(editor, texts, ds, aligner, uids, out_dir,
                           mcd_config=mcd_cfg)
         key = split.replace("eval_", "")
@@ -89,7 +103,8 @@ def main() -> None:
               f"{result['mean_mcd']:.2f} dB (vocoder ceiling "
               f"{result['vocoder_ceiling_mcd']:.2f} dB)", flush=True)
 
-    out = os.path.join(w, f"curve_e{args.epoch}.json")
+    tag = "" if args.exp_name == "exp" else f"{args.exp_name}_"
+    out = os.path.join(w, f"{tag}curve_e{args.epoch}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out}", flush=True)

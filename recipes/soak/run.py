@@ -150,7 +150,41 @@ def stage3_pack(args, train_dir, records_dir):
     pack_main(["--data-dir", train_dir, "--out", records_dir])
 
 
-def stage4_train(args, records_dir, eval_dir, workdir, exp):
+def ensure_xvector(args, train_dir, eval_seen_dir, workdir):
+    """Train the x-vector speaker model + spk2xvector dict if absent.
+
+    Shared by stage 4 (--spemb acoustic conditioning) and stage 6
+    (FS2 duration conditioning).  Returns the spk2xvector.npz path.
+    """
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+    from a3t_tpu.models.xvector import (
+        build_spk2xvector, load_xvector, train_xvector)
+    from a3t_tpu.text.tokenizer import TokenIDConverter, build_token_list
+    from a3t_tpu.data.fileio import read_2column_text
+
+    xv_dir = os.path.join(workdir, "exp_xvector")
+    spk2xv_path = os.path.join(xv_dir, "spk2xvector.npz")
+    if os.path.exists(spk2xv_path):
+        return spk2xv_path
+    fe_cfg = LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
+                          win_length=800, n_mels=80, fmin=80.0, fmax=7600.0)
+    print("== x-vector speaker model (shared stage) ==", flush=True)
+    fe = LogMelFrontend(fe_cfg)
+    model, variables, _ = train_xvector(
+        train_dir, fe, xv_dir, total_steps=args.xvector_steps,
+        eval_data_dir=eval_seen_dir)
+    _, _, mel_mvn = load_xvector(xv_dir)
+    texts = read_2column_text(os.path.join(train_dir, "text"))
+    conv = TokenIDConverter(build_token_list(texts.values()))
+    build_spk2xvector(model, variables, fe,
+                      A3TDataset(train_dir, conv), out_path=spk2xv_path,
+                      mel_mvn=mel_mvn)
+    return spk2xv_path
+
+
+def stage4_train(args, records_dir, eval_dir, workdir, exp,
+                 train_dir=None):
     import yaml
 
     print("== stage 4: training ==", flush=True)
@@ -197,7 +231,18 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp):
                                         and os.path.isdir(args.init_params)
                                         else None)},
     }
-    conf_path = os.path.join(workdir, "config.yaml")
+    if args.spemb:
+        # speaker-conditioned training: per-speaker averaged x-vectors
+        # (no per-utt leakage), projected into both modality embeddings.
+        # allow_missing lets --init-params warm-start from an
+        # unconditioned stash (spemb_proj keeps its fresh init).
+        spk2xv = ensure_xvector(args, train_dir or records_dir,
+                                eval_dir, workdir)
+        conf["model"]["spemb_dim"] = 192
+        conf["spemb_file"] = spk2xv
+        conf["trainer"]["init_params_allow_missing"] = True
+    conf_path = os.path.join(
+        workdir, f"{os.path.basename(exp)}_launch.yaml")
     with open(conf_path, "w") as f:
         yaml.safe_dump(conf, f)
 
@@ -228,6 +273,17 @@ def stage5_eval(args, eval_dirs, workdir, exp):
         vocoder = load_vocoder(args.vocoder)
         print(f"   using trained vocoder {args.vocoder}", flush=True)
 
+    spemb_fn = None
+    if getattr(cfg.model, "spemb_dim", 0) > 0:
+        from a3t_tpu.dsp import LogMelFrontend
+        from a3t_tpu.models.xvector import make_spemb_extractor
+
+        spemb_fn = make_spemb_extractor(
+            os.path.join(workdir, "exp_xvector"),
+            LogMelFrontend(cfg.frontend))
+        print("   speaker-conditioned model: context-only x-vector "
+              "extraction", flush=True)
+
     report = {"checkpoint": args.eval_checkpoint,
               "vocoder": args.vocoder or "griffin-lim"}
     for split, split_dir in eval_dirs.items():
@@ -235,7 +291,8 @@ def stage5_eval(args, eval_dirs, workdir, exp):
         lexicon = {p.upper(): [p] for t in texts.values()
                    for p in t.split()}
         editor = SpeechEditor(model, variables, cfg.frontend, conv,
-                              lexicon=lexicon, vocoder=vocoder)
+                              lexicon=lexicon, vocoder=vocoder,
+                              spemb_fn=spemb_fn)
         ds = A3TDataset(split_dir, conv)
         aligner = FileAlignmentSource(split_dir)
         out_dir = os.path.join(workdir, "mcd_out", split)
@@ -282,35 +339,17 @@ def stage6_fs2(args, train_dir, eval_seen_dir, workdir):
         reference's duration path integrates x-vectors,
         sedit_inference.py:405-420).
     """
-    from a3t_tpu.data.dataset import A3TDataset
-    from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
+    from a3t_tpu.dsp import LogMelConfig
     from a3t_tpu.models.fastspeech2 import (
         FastSpeech2Config, transformer_stack_config)
-    from a3t_tpu.models.xvector import build_spk2xvector, train_xvector
     from a3t_tpu.tasks.fs2 import FS2BatcherConfig, FS2Task, FS2TaskConfig
-    from a3t_tpu.text.tokenizer import TokenIDConverter, build_token_list
-    from a3t_tpu.data.fileio import read_2column_text
     from a3t_tpu.train import OptimConfig, TrainerConfig
 
     fe_cfg = LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
                           win_length=800, n_mels=80, fmin=80.0,
                           fmax=7600.0)
     print("== stage 6a: x-vector speaker model ==", flush=True)
-    xv_dir = os.path.join(workdir, "exp_xvector")
-    fe = LogMelFrontend(fe_cfg)
-    model, variables, report = train_xvector(
-        train_dir, fe, xv_dir, total_steps=args.xvector_steps,
-        eval_data_dir=eval_seen_dir)
-
-    from a3t_tpu.models.xvector import load_xvector
-
-    _, _, mel_mvn = load_xvector(xv_dir)
-    texts = read_2column_text(os.path.join(train_dir, "text"))
-    conv = TokenIDConverter(build_token_list(texts.values()))
-    spk2xv_path = os.path.join(xv_dir, "spk2xvector.npz")
-    build_spk2xvector(model, variables, fe,
-                      A3TDataset(train_dir, conv), out_path=spk2xv_path,
-                      mel_mvn=mel_mvn)
+    spk2xv_path = ensure_xvector(args, train_dir, eval_seen_dir, workdir)
 
     print("== stage 6b: FastSpeech2 duration-model training ==", flush=True)
     stack = transformer_stack_config(adim=256, aheads=2, layers=4,
@@ -413,6 +452,10 @@ def stage7_edit_demo(args, eval_dir, workdir, exp):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/a3t_soak")
+    ap.add_argument("--exp-name", default="exp",
+                    help="experiment dir name under the workdir (separate "
+                         "names keep e.g. conditioned and unconditioned "
+                         "runs side by side)")
     ap.add_argument("--stage", type=int, default=1)
     ap.add_argument("--stop-stage", type=int, default=5)
     ap.add_argument("--fs2-epochs", type=int, default=40)
@@ -429,6 +472,10 @@ def main():
                          "to warm-start from when no resume ckpt exists")
     ap.add_argument("--batch-bins", type=int, default=3000000)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--spemb", action="store_true",
+                    help="condition the MLM on per-speaker x-vectors "
+                         "(trains the x-vector model first if absent); "
+                         "eval extracts leak-free context-only x-vectors")
     ap.add_argument("--no-device-audio", action="store_true",
                     help="ship per-step PCM from host instead of the "
                          "HBM-resident corpus gather")
@@ -451,7 +498,7 @@ def main():
     eval_seen = os.path.join(args.workdir, "data", "eval_seen")
     eval_unseen = os.path.join(args.workdir, "data", "eval_unseen")
     records_dir = os.path.join(args.workdir, "records")
-    exp = os.path.join(args.workdir, "exp")
+    exp = os.path.join(args.workdir, args.exp_name)
 
     def in_range(n):
         return args.stage <= n <= args.stop_stage
@@ -463,7 +510,8 @@ def main():
     if in_range(3):
         stage3_pack(args, train_dir, records_dir)
     if in_range(4):
-        stage4_train(args, records_dir, eval_seen, args.workdir, exp)
+        stage4_train(args, records_dir, eval_seen, args.workdir, exp,
+                     train_dir=train_dir)
     if in_range(5):
         stage5_eval(args, {"seen": eval_seen, "unseen": eval_unseen},
                     args.workdir, exp)
