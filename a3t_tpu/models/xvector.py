@@ -105,6 +105,7 @@ def train_xvector(
     seed: int = 0,
     eval_data_dir: Optional[str] = None,
     log_fn=print,
+    max_utts: Optional[int] = None,
 ):
     """Train the speaker classifier on a data dir (wav.scp + utt2spk).
 
@@ -126,14 +127,18 @@ def train_xvector(
 
     from a3t_tpu.dsp.frontend import corpus_mvn, extract_corpus_mels
 
-    def load_corpus(d):
+    def load_corpus(d, cap=None):
         reader = SoundScpReader(os.path.join(d, "wav.scp"))
         utt2spk = read_2column_text(os.path.join(d, "utt2spk"))
         uids = [u for u in utt2spk if u in reader]
+        if cap is not None and len(uids) > cap:
+            # deterministic per-speaker-balanced subsample: a speaker
+            # classifier saturates long before corpus scale
+            uids = list(np.random.default_rng(0).permutation(uids)[:cap])
         _, mels = extract_corpus_mels(fe, [reader[u][1] for u in uids])
         return [(utt2spk[u], m) for u, m in zip(uids, mels)]
 
-    train_items = load_corpus(data_dir)
+    train_items = load_corpus(data_dir, cap=max_utts)
     # corpus MVN on the input log-mels: without it the ~-6-mean features
     # drive the xavier-init conv stack into dead relus and nothing trains
     mel_mean, mel_std = corpus_mvn([m for _, m in train_items])
@@ -264,6 +269,7 @@ def build_spk2xvector(
     out_path: Optional[str] = None,
     max_frames: int = 1024,
     mel_mvn: Optional[tuple] = None,
+    max_utts_per_speaker: Optional[int] = None,
 ) -> dict[str, np.ndarray]:
     """Per-speaker averaged x-vectors over a corpus
     (aggregate_output/generate_spk2xv.py analogue; saved as .npz).
@@ -271,6 +277,11 @@ def build_spk2xvector(
     ``mel_mvn``: the (mean, std) the extractor was trained with
     (load_xvector's third return) — required for extractors trained by
     :func:`train_xvector`.
+
+    ``max_utts_per_speaker`` caps the per-speaker average (the embedding
+    mean converges after a few dozen utterances; on a remote-tunnel chip
+    each utterance costs a dispatch round trip, so averaging a 12k-utt
+    corpus exhaustively is ~30 min for no gain).
     """
     import jax.numpy as jnp
 
@@ -279,7 +290,18 @@ def build_spk2xvector(
     embed_fn = jax.jit(
         lambda feats, mask: model.apply(variables, feats, mask, train=False)[0])
     hop = frontend.config.hop_length
-    for uid in dataset.uids:
+    uids = dataset.uids
+    if max_utts_per_speaker is not None:
+        per_spk: dict[str, int] = {}
+        capped = []
+        for uid in uids:
+            spk = dataset.get_meta(uid).get("speaker", uid) \
+                if hasattr(dataset, "get_meta") else uid
+            if per_spk.get(spk, 0) < max_utts_per_speaker:
+                per_spk[spk] = per_spk.get(spk, 0) + 1
+                capped.append(uid)
+        uids = capped
+    for uid in uids:
         item = dataset[uid]
         spk = item.get("speaker", uid)
         wav = item["audio"]

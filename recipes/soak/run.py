@@ -173,13 +173,13 @@ def ensure_xvector(args, train_dir, eval_seen_dir, workdir):
     fe = LogMelFrontend(fe_cfg)
     model, variables, _ = train_xvector(
         train_dir, fe, xv_dir, total_steps=args.xvector_steps,
-        eval_data_dir=eval_seen_dir)
+        eval_data_dir=eval_seen_dir, max_utts=4000)
     _, _, mel_mvn = load_xvector(xv_dir)
     texts = read_2column_text(os.path.join(train_dir, "text"))
     conv = TokenIDConverter(build_token_list(texts.values()))
     build_spk2xvector(model, variables, fe,
                       A3TDataset(train_dir, conv), out_path=spk2xv_path,
-                      mel_mvn=mel_mvn)
+                      mel_mvn=mel_mvn, max_utts_per_speaker=64)
     return spk2xv_path
 
 
