@@ -153,6 +153,37 @@ def stage2_finetune(args, data_dir, workdir, exp):
 
     train_main(["--config", conf_path])
 
+    # FS2 duration model on the same real corpus: the reference's edit
+    # and prompt paths predict new-span durations with FastSpeech2
+    # (sedit_inference.py:398-424); a model trained on the synthetic soak
+    # corpus cannot serve here (disjoint phone inventory), so train a
+    # small one on the real utterances' native alignments.
+    from a3t_tpu.dsp import LogMelConfig
+    from a3t_tpu.models.fastspeech2 import (
+        FastSpeech2Config, transformer_stack_config)
+    from a3t_tpu.tasks.fs2 import FS2BatcherConfig, FS2Task, FS2TaskConfig
+    from a3t_tpu.train import OptimConfig, TrainerConfig
+
+    print("== stage 2b: FS2 duration model on real speech ==", flush=True)
+    stack = transformer_stack_config(adim=128, aheads=2, layers=2,
+                                     units=512, dropout=0.2)
+    FS2Task.run(FS2TaskConfig(
+        train_data_dir=data_dir,
+        token_list=os.path.join(data_dir, "tokens.txt"),
+        exp_dir=os.path.join(workdir, "exp_fs2"),
+        frontend=LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
+                              win_length=800, n_mels=80, fmin=80.0,
+                              fmax=7600.0),
+        model=FastSpeech2Config(adim=128, encoder=stack, decoder=stack,
+                                postnet_layers=0, max_feat_len=576),
+        batcher=FS2BatcherConfig(batch_size=8, max_feat_len=576),
+        optim=OptimConfig(model_size=128, warmup_steps=100),
+        trainer=TrainerConfig(
+            max_epoch=args.fs2_epochs, num_iters_per_epoch=20,
+            keep_nbest_models=2, log_interval=50,
+            best_model_criterion=("train", "loss", "min"), resume=True),
+    ))
+
 
 def stage3_eval(args, data_dir, workdir, exp):
     from a3t_tpu.bin.mcd_gate import run_gate
@@ -173,12 +204,23 @@ def stage3_eval(args, data_dir, workdir, exp):
     texts = read_2column_text(os.path.join(data_dir, "text"))
     lexicon = {p.upper(): [p] for t in texts.values() for p in t.split()}
     # no duration_fn -> run_gate uses pure masked reconstruction (the MCD
-    # protocol); the edit/prompt editor below gets uniform durations
+    # protocol); the edit/prompt editor gets the trained FS2 duration
+    # path (sedit_inference.py:398-424), uniform durations only as the
+    # fallback when stage 2b was skipped
     editor = SpeechEditor(model, variables, cfg.frontend, conv,
                           lexicon=lexicon, vocoder=vocoder)
+    fs2_exp = os.path.join(workdir, "exp_fs2")
+    if os.path.isdir(os.path.join(fs2_exp, "checkpoints")):
+        from a3t_tpu.inference.durations import load_duration_fn
+
+        duration_fn = load_duration_fn(fs2_exp)
+        duration_source = "fs2"
+    else:
+        duration_fn = lambda ph, w: [0.1] * len(ph)  # noqa: E731
+        duration_source = "uniform-fallback"
     edit_editor = SpeechEditor(model, variables, cfg.frontend, conv,
                                lexicon=lexicon, vocoder=vocoder,
-                               duration_fn=lambda ph, w: [0.1] * len(ph))
+                               duration_fn=duration_fn)
     ds = A3TDataset(data_dir, conv)
     aligner = FileAlignmentSource(data_dir)
     out_dir = os.path.join(workdir, "demo_out")
@@ -219,6 +261,7 @@ def stage3_eval(args, data_dir, workdir, exp):
         "init_params": args.init_params,
         "checkpoint": args.eval_checkpoint,
         "vocoder": args.vocoder or "griffin-lim",
+        "duration_source": duration_source,
         "reconstruction": result,
         "edit": {"uid": uid, "old": texts[uid], "new": new_text,
                  "old_span_frames": [int(x) for x in res.old_span_boundary],
@@ -241,6 +284,7 @@ def main():
                     help="fallback token list when the stash has none")
     ap.add_argument("--align-mixtures", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--fs2-epochs", type=int, default=25)
     ap.add_argument("--iters-per-epoch", type=int, default=20)
     ap.add_argument("--lr", type=float, default=0.2)
     ap.add_argument("--vocoder", default="artifacts/vocoder")
