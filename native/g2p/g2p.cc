@@ -269,6 +269,11 @@ const Rule kRules[] = {
     // --- G ---
     {"#", "GU", "$", "G"},      // silent u word-initially: guess, guide,
                                 // guard, guatemala
+    {"$", "GU", "ING#", "G"},   // -guing keeps the silent u (intriguing,
+                                // fatiguing, leaguing)
+    {"$", "GU", "I", "G W"},    // otherwise vowel+gui sounds the glide:
+                                // aguilar, beguile, maguire, seguin
+                                // (round-5 census; the i keeps its own rule)
     {"", "GU", "+", "G"},       // vague, argue, silent before front vowels
     {"", "GU", "$", "G W"},     // agua, iguana, jaguar (mid gu+a glides)
     {"", "GG", "", "G"},
@@ -570,6 +575,10 @@ const Rule kRules[] = {
     {"", "SH", "", "SH"},
     {"", "SCIA", "", "SH AH0"},   // coscia
     {"#", "SCI", "$", "S AY1"},   // science, scientist
+    {"", "SC", "+", "S"},   // sc before a front vowel is one /s/: abscess,
+                            // ascent, descend, adolescent, crescent — the
+                            // binary consumes the cluster; letter-by-letter
+                            // S + soft C doubled it (round-5 census)
     {"", "SSION", "", "SH AH0 N"},  // emission, passion
     {"", "SSUE", "#", "SH UW1"},  // issue, tissue
     {"", "SSUR", "$", "SH ER0"},  // fissures, pressure
