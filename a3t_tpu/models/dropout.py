@@ -34,10 +34,32 @@ compare/select fuse into the surrounding elementwise graph.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Bit-generation backend for the dropout masks.  "threefry" (jax default)
+# is a counter-based PRNG computed on the VPU; "rbg"/"unsafe_rbg" lower to
+# XLA RngBitGenerator, the TPU's hardware generator — the remaining
+# dropout cost is bit throughput (docs/MFU.json sized it ~11 ms/step), so
+# the generator choice is the lever the u8-draw trick left on the table.
+# Reproducibility: bits remain a deterministic function of the (derived)
+# key for both backends; a trained run replays bit-exactly under the SAME
+# impl, but the two impls realize different masks from the same seed.
+_PRNG_IMPL = os.environ.get("A3T_DROPOUT_PRNG", "threefry")
+
+
+def set_prng_impl(impl: str) -> None:
+    """Select the mask bit generator ("threefry" | "rbg" | "unsafe_rbg").
+
+    Must be called before the train step is traced; benches A/B it.
+    """
+    global _PRNG_IMPL
+    if impl not in ("threefry", "rbg", "unsafe_rbg"):
+        raise ValueError(f"unknown dropout PRNG impl {impl!r}")
+    _PRNG_IMPL = impl
 
 
 def _threshold(rate: float) -> int:
@@ -50,7 +72,23 @@ def realized_keep_prob(rate: float) -> float:
     return _threshold(rate) / 256.0
 
 
+_IMPL_SPEC = {"threefry": ("threefry2x32", 2), "rbg": ("rbg", 4),
+              "unsafe_rbg": ("unsafe_rbg", 4)}
+
+
 def _keep_mask(key, rate: float, shape):
+    # re-key the incoming stream into the selected generator's state size
+    # (threefry: 2 x u32, rbg variants: 4 x u32); when the key already has
+    # that impl this is the identity, otherwise the derived key keeps
+    # streams distinct per dropout site exactly as before
+    spec, n = _IMPL_SPEC[_PRNG_IMPL]
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key  # legacy uint32 key array (flax make_rng / PRNGKey)
+    kd = kd.astype(jnp.uint32).reshape(-1)
+    kd = jnp.tile(kd, n)[:n]
+    key = jax.random.wrap_key_data(kd, impl=spec)
     bits = jax.random.bits(key, shape, jnp.uint8)
     return bits < jnp.uint8(_threshold(rate))
 

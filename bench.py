@@ -130,6 +130,39 @@ def main():
 
     frames = batch_size * (1 + n_samples // hop)
     frames_per_sec = frames / dt
+
+    # chained dispatch (TrainerConfig.steps_per_dispatch): k optimizer
+    # steps scanned inside one program.  The async dispatch queue already
+    # hides the tunnel RTT in THIS loop (steps enqueue back-to-back), so
+    # the delta here shows pure in-graph scan overhead/benefit; in the
+    # real trainer the win is the per-dispatch host work that chaining
+    # amortizes (see docs/STEP_BENCH.json chained note).  Best-effort:
+    # any failure here must not cost the headline measurement.
+    chained_fps = None
+    try:
+        from a3t_tpu.data.batcher import stack_group
+        from a3t_tpu.train.train_step import make_chained_train_step
+
+        k = 8
+        chained = make_chained_train_step(model, fe, k, donate=False)
+        group = stack_group([host_batch] * k, k)
+        stacked = {kk: jnp.asarray(v) for kk, v in group[1].items()}
+        valid = jnp.asarray(group[2])
+        for _ in range(2):
+            key, sk = jax.random.split(key)
+            state, cstats = chained(state, stacked, sk, valid)
+        float(cstats["loss"][-1])
+        n_groups = 4
+        t0c = time.perf_counter()
+        for _ in range(n_groups):
+            key, sk = jax.random.split(key)
+            state, cstats = chained(state, stacked, sk, valid)
+        float(cstats["loss"][-1])
+        dt_chained = (time.perf_counter() - t0c) / (n_groups * k)
+        chained_fps = round(frames / dt_chained, 1)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -137,6 +170,7 @@ def main():
                 "value": round(frames_per_sec, 1),
                 "unit": "mel-frames/sec/chip",
                 "vs_baseline": round(frames_per_sec / REFERENCE_GPU_FRAMES_PER_SEC, 2),
+                "chained_k8_frames_per_sec": chained_fps,
             }
         )
     )

@@ -93,6 +93,15 @@ def build(variant: str):
         dec_kw["cnn_module_shifted"] = True
     if variant == "nopostnet":
         model_kw["postnet_layers"] = 0
+    # Dropout mask bit-generator A/B: this bench runs under
+    # jax_default_prng_impl=unsafe_rbg (hardware RngBitGenerator), but the
+    # production trainer derives threefry keys — "threefry_dropout"
+    # measures what real training pays for software PRNG bits, and
+    # models/dropout.py::set_prng_impl is the knob that closes the gap.
+    from a3t_tpu.models import dropout as _dropout
+
+    _dropout.set_prng_impl(
+        "threefry" if variant == "threefry_dropout" else "unsafe_rbg")
     if variant in ("noattndrop", "nodrop"):
         enc_kw["attention_dropout_rate"] = 0.0
         dec_kw["attention_dropout_rate"] = 0.0
