@@ -139,8 +139,18 @@ class A3TMLMModel(nn.Module):
                                         name="segment_emb")
 
         if c.spemb_dim > 0:
+            # two integration sites: the modality embeddings (input) and
+            # the decoder input (the espnet2 FastSpeech2 "add" site, after
+            # the encoder).  Input-only conditioning measured ~ignored:
+            # the additive vector washes out through the pre-LN stacks
+            # (spemb-swap moved the masked-span output by 0.02 vs a 0.65
+            # error scale after 3k steps); the post-encoder site feeds the
+            # reconstruction head directly.
             self.spemb_proj = nn.Dense(d, kernel_init=xavier(),
                                        bias_init=zeros, name="spemb_proj")
+            self.spemb_proj_mid = nn.Dense(d, kernel_init=xavier(),
+                                           bias_init=zeros,
+                                           name="spemb_proj_mid")
 
         if enc.pre_speech_layers > 0:
             pre_cfg = dataclasses.replace(enc, num_blocks=enc.pre_speech_layers)
@@ -212,13 +222,7 @@ class A3TMLMModel(nn.Module):
                 h_text = h_text + self.segment_emb(text_segment_pos)
 
         if c.spemb_dim > 0:
-            if spemb is None:
-                # graceful no-embedding path (e.g. enrolment audio absent):
-                # the zero vector projects to the bias alone
-                spemb = jnp.zeros((speech.shape[0], c.spemb_dim),
-                                  jnp.float32)
-            se = spemb / (jnp.linalg.norm(spemb, axis=-1, keepdims=True)
-                          + 1e-8)
+            se = self._norm_spemb(spemb, speech.shape[0])
             se = self.spemb_proj(se.astype(h_speech.dtype))[:, None, :]
             h_speech = h_speech + se
             h_text = h_text + se
@@ -238,6 +242,15 @@ class A3TMLMModel(nn.Module):
         mask = jnp.concatenate([speech_mask, text_mask], axis=1)[:, None, :]
 
         return self.encoder(x, pos_emb, mask, train, n_frames=n_frames), mask
+
+    def _norm_spemb(self, spemb, batch_size: int):
+        """L2-normalized speaker embedding; zeros when absent (the
+        no-enrolment path projects to the biases alone)."""
+        if spemb is None:
+            spemb = jnp.zeros((batch_size, self.config.spemb_dim),
+                              jnp.float32)
+        return spemb / (jnp.linalg.norm(spemb, axis=-1, keepdims=True)
+                        + 1e-8)
 
     def decode(self, x, mask, train: bool = False, n_frames=None):
         """Refinement ("decoder") stack over the concatenated hidden states.
@@ -275,6 +288,10 @@ class A3TMLMModel(nn.Module):
             speech_segment_pos, text_segment_pos, train=train,
             speech_only=speech_only, spemb=spemb,
         )
+        if c.spemb_dim > 0:
+            se = self._norm_spemb(spemb, speech.shape[0])
+            enc_out = enc_out + self.spemb_proj_mid(
+                se.astype(enc_out.dtype))[:, None, :]
         log_durations = None
         if c.duration_predictor_layers > 0:
             log_durations = self.duration_predictor(
@@ -324,6 +341,10 @@ class A3TMLMModel(nn.Module):
             speech, text, masked_position, speech_mask, text_mask,
             speech_segment_pos, text_segment_pos, train=train, spemb=spemb,
         )
+        if c.spemb_dim > 0:
+            se = self._norm_spemb(spemb, speech.shape[0])
+            enc_out = enc_out + self.spemb_proj_mid(
+                se.astype(enc_out.dtype))[:, None, :]
         log_d = self.duration_predictor(
             enc_out[:, :n_red], pad_mask=~speech_mask, deterministic=not train)
 

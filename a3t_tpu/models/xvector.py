@@ -362,3 +362,59 @@ def make_spemb_extractor(xv_dir: str, frontend):
             _embed(jnp.asarray(audio[None]), jnp.asarray(mask[None])))[0]
 
     return fn
+
+
+def build_utt2xvector(
+    model: XVectorNet,
+    variables: dict,
+    frontend,
+    dataset,
+    out_path: Optional[str] = None,
+    mel_mvn: Optional[tuple] = None,
+    chunk: int = 32,
+    max_frames: int = 1024,
+) -> dict[str, np.ndarray]:
+    """Per-UTTERANCE x-vectors over a corpus, batched ``chunk`` utts per
+    device call (a remote tunnel charges a round trip per dispatch).
+
+    Unlike :func:`build_spk2xvector`'s per-speaker averages, per-utt
+    embeddings also carry utterance-level acoustics (e.g. the utterance's
+    pitch level), which the context-masked inference extractor
+    (:func:`make_spemb_extractor`) likewise observes — training and
+    inference then condition on the same kind of signal.  Saved npz is
+    keyed by uid; by convention it lives in the data dir as
+    ``utt2xvector.npz`` (MLMTask resolves it per data dir, avoiding uid
+    collisions between splits that share uid namespaces).
+    """
+    hop = frontend.config.hop_length
+    uids = list(dataset.uids)
+    bucket_f = min(
+        max_frames,
+        int(np.ceil((1 + max(dataset.num_samples(u) for u in uids) // hop)
+                    / 64.0)) * 64)
+    bucket_s = (bucket_f - 1) * hop
+
+    embed_fn = jax.jit(lambda feats, mask: model.apply(
+        variables, feats, mask, train=False)[0])
+    mean = None if mel_mvn is None else jnp.asarray(mel_mvn[0])
+    std = None if mel_mvn is None else jnp.asarray(mel_mvn[1])
+
+    out: dict[str, np.ndarray] = {}
+    for c0 in range(0, len(uids), chunk):
+        group = uids[c0 : c0 + chunk]
+        audio = np.zeros((chunk, bucket_s), np.float32)
+        n_f = np.zeros(chunk, np.int32)
+        for i, u in enumerate(group):
+            wav = dataset[u]["audio"][:bucket_s]
+            audio[i, : len(wav)] = wav
+            n_f[i] = min(1 + len(wav) // hop, bucket_f)
+        feats, _ = frontend(jnp.asarray(audio))
+        if mean is not None:
+            feats = (feats - mean) / std
+        mask = jnp.arange(feats.shape[1])[None, :] < jnp.asarray(n_f)[:, None]
+        emb = np.asarray(embed_fn(feats[:, :bucket_f], mask[:, :bucket_f]))
+        for i, u in enumerate(group):
+            out[u] = emb[i]
+    if out_path:
+        np.savez(out_path, **out)
+    return out

@@ -109,29 +109,44 @@ class MLMTask:
             # (tasks/mlm.py:286-289)
             bcfg = dataclasses.replace(bcfg, duration_collect=True)
         spemb_map = None
-        if cfg.model.spemb_dim > 0 and cfg.spemb_file:
+        if cfg.model.spemb_dim > 0:
             spemb_map = cls._build_spemb_map(cfg, ds, data_dir)
         return BucketBatcher(ds, cfg.frontend, bcfg, spemb_map=spemb_map)
 
     @classmethod
     def _build_spemb_map(cls, cfg: A3TTaskConfig, ds, data_dir: str) -> dict:
-        """uid -> x-vector from ``cfg.spemb_file``.
+        """uid -> x-vector for a spemb-conditioned model.
 
-        The .npz is keyed by speaker (generate_spk2xv.py analogue) and/or
-        by uid; speakers resolve through the data dir's utt2spk / the
-        dataset's per-item speaker field.  Every uid must resolve — a
-        silent zero-vector would train the conditioning to be ignorable.
+        Resolution order per uid: (1) ``<data_dir>/utt2xvector.npz``
+        (per-utterance embeddings, models/xvector.py::build_utt2xvector —
+        dir-local because splits share uid namespaces), (2)
+        ``cfg.spemb_file`` by uid, (3) ``cfg.spemb_file`` by speaker
+        (spk2xvector, via utt2spk / the dataset's speaker field).  Every
+        uid must resolve — a silent zero-vector would train the
+        conditioning to be ignorable.
         """
         from a3t_tpu.data.fileio import read_2column_text
 
-        table = {k: np.asarray(v, np.float32)
-                 for k, v in np.load(cfg.spemb_file).items()}
+        local_path = os.path.join(data_dir, "utt2xvector.npz")
+        local = ({k: np.asarray(v, np.float32)
+                  for k, v in np.load(local_path).items()}
+                 if os.path.exists(local_path) else {})
+        table = ({k: np.asarray(v, np.float32)
+                  for k, v in np.load(cfg.spemb_file).items()}
+                 if cfg.spemb_file else {})
+        if not local and not table:
+            raise ValueError(
+                f"model.spemb_dim > 0 but neither {local_path} nor "
+                "spemb_file provides embeddings")
         utt2spk_path = os.path.join(data_dir, "utt2spk")
         utt2spk = (read_2column_text(utt2spk_path)
                    if os.path.exists(utt2spk_path) else {})
         spemb_map = {}
         missing = []
         for uid in ds.uids:
+            if uid in local:
+                spemb_map[uid] = local[uid]
+                continue
             if uid in table:
                 spemb_map[uid] = table[uid]
                 continue
@@ -144,8 +159,8 @@ class MLMTask:
                 missing.append(uid)
         if missing:
             raise ValueError(
-                f"spemb_file {cfg.spemb_file} has no embedding for "
-                f"{len(missing)} utts of {data_dir} (first: {missing[:3]})")
+                f"no speaker embedding for {len(missing)} utts of "
+                f"{data_dir} (first: {missing[:3]})")
         return spemb_map
 
     # ------------------------------------------------------------------

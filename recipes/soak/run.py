@@ -159,27 +159,39 @@ def ensure_xvector(args, train_dir, eval_seen_dir, workdir):
     from a3t_tpu.data.dataset import A3TDataset
     from a3t_tpu.dsp import LogMelConfig, LogMelFrontend
     from a3t_tpu.models.xvector import (
-        build_spk2xvector, load_xvector, train_xvector)
+        build_spk2xvector, build_utt2xvector, load_xvector, train_xvector)
     from a3t_tpu.text.tokenizer import TokenIDConverter, build_token_list
     from a3t_tpu.data.fileio import read_2column_text
 
     xv_dir = os.path.join(workdir, "exp_xvector")
     spk2xv_path = os.path.join(xv_dir, "spk2xvector.npz")
-    if os.path.exists(spk2xv_path):
-        return spk2xv_path
     fe_cfg = LogMelConfig(fs=FS, n_fft=1024, hop_length=200,
                           win_length=800, n_mels=80, fmin=80.0, fmax=7600.0)
-    print("== x-vector speaker model (shared stage) ==", flush=True)
     fe = LogMelFrontend(fe_cfg)
-    model, variables, _ = train_xvector(
-        train_dir, fe, xv_dir, total_steps=args.xvector_steps,
-        eval_data_dir=eval_seen_dir, max_utts=4000)
-    _, _, mel_mvn = load_xvector(xv_dir)
+    if not os.path.exists(spk2xv_path):
+        print("== x-vector speaker model (shared stage) ==", flush=True)
+        model, variables, _ = train_xvector(
+            train_dir, fe, xv_dir, total_steps=args.xvector_steps,
+            eval_data_dir=eval_seen_dir, max_utts=4000)
+        _, _, mel_mvn = load_xvector(xv_dir)
+        texts = read_2column_text(os.path.join(train_dir, "text"))
+        conv = TokenIDConverter(build_token_list(texts.values()))
+        build_spk2xvector(model, variables, fe,
+                          A3TDataset(train_dir, conv), out_path=spk2xv_path,
+                          mel_mvn=mel_mvn, max_utts_per_speaker=64)
+    # per-utterance embeddings, dir-local (training conditions on the
+    # same kind of utterance-level signal the context-masked inference
+    # extractor observes)
+    model, variables, mel_mvn = load_xvector(xv_dir)
     texts = read_2column_text(os.path.join(train_dir, "text"))
     conv = TokenIDConverter(build_token_list(texts.values()))
-    build_spk2xvector(model, variables, fe,
-                      A3TDataset(train_dir, conv), out_path=spk2xv_path,
-                      mel_mvn=mel_mvn, max_utts_per_speaker=64)
+    for d in (train_dir, eval_seen_dir):
+        out = os.path.join(d, "utt2xvector.npz")
+        if not os.path.exists(out):
+            print(f"   utt2xvector for {d}", flush=True)
+            build_utt2xvector(model, variables, fe,
+                              A3TDataset(d, conv), out_path=out,
+                              mel_mvn=mel_mvn)
     return spk2xv_path
 
 
@@ -232,12 +244,20 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp,
                                         else None)},
     }
     if args.spemb:
-        # speaker-conditioned training: per-speaker averaged x-vectors
-        # (no per-utt leakage), projected into both modality embeddings.
+        # speaker-conditioned training: per-utterance x-vectors (dir-local
+        # utt2xvector.npz; spk2xvector as the by-speaker fallback),
+        # projected into the modality embeddings and the decoder input.
         # allow_missing lets --init-params warm-start from an
-        # unconditioned stash (spemb_proj keeps its fresh init).
+        # unconditioned stash (the spemb projections keep fresh init).
+        import shutil
+
         spk2xv = ensure_xvector(args, train_dir or records_dir,
                                 eval_dir, workdir)
+        if train_dir and train_dir != records_dir:
+            src = os.path.join(train_dir, "utt2xvector.npz")
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(records_dir,
+                                              "utt2xvector.npz"))
         conf["model"]["spemb_dim"] = 192
         conf["spemb_file"] = spk2xv
         conf["trainer"]["init_params_allow_missing"] = True
