@@ -394,10 +394,21 @@ def build_utt2xvector(
                     / 64.0)) * 64)
     bucket_s = (bucket_f - 1) * hop
 
-    embed_fn = jax.jit(lambda feats, mask: model.apply(
-        variables, feats, mask, train=False)[0])
     mean = None if mel_mvn is None else jnp.asarray(mel_mvn[0])
     std = None if mel_mvn is None else jnp.asarray(mel_mvn[1])
+
+    # ONE jitted program per chunk: front-end + mvn + TDNN embed.  An
+    # un-jitted frontend dispatches eagerly — per-op tunnel round trips
+    # turn a 2-minute corpus pass into ~40 minutes (measured).
+    @jax.jit
+    def chunk_embed(audio, n_f):
+        feats, _ = frontend(audio)
+        if mean is not None:
+            feats = (feats - mean) / std
+        mask = (jnp.arange(feats.shape[1])[None, :] < n_f[:, None])
+        emb, _ = model.apply(variables, feats[:, :bucket_f],
+                             mask[:, :bucket_f], train=False)
+        return emb
 
     out: dict[str, np.ndarray] = {}
     for c0 in range(0, len(uids), chunk):
@@ -408,11 +419,7 @@ def build_utt2xvector(
             wav = dataset[u]["audio"][:bucket_s]
             audio[i, : len(wav)] = wav
             n_f[i] = min(1 + len(wav) // hop, bucket_f)
-        feats, _ = frontend(jnp.asarray(audio))
-        if mean is not None:
-            feats = (feats - mean) / std
-        mask = jnp.arange(feats.shape[1])[None, :] < jnp.asarray(n_f)[:, None]
-        emb = np.asarray(embed_fn(feats[:, :bucket_f], mask[:, :bucket_f]))
+        emb = np.asarray(chunk_embed(jnp.asarray(audio), jnp.asarray(n_f)))
         for i, u in enumerate(group):
             out[u] = emb[i]
     if out_path:
