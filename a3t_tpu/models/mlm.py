@@ -151,6 +151,12 @@ class A3TMLMModel(nn.Module):
             self.spemb_proj_mid = nn.Dense(d, kernel_init=xavier(),
                                            bias_init=zeros,
                                            name="spemb_proj_mid")
+            # direct linear speaker offset on the output mel (zero-init:
+            # exactly preserves a warm-started model at step 0, and the
+            # L1 gradient through a single linear layer adopts the
+            # conditioning immediately, pulling the deeper sites along)
+            self.spemb_out = nn.Dense(c.odim, kernel_init=zeros,
+                                      bias_init=zeros, name="spemb_out")
 
         if enc.pre_speech_layers > 0:
             pre_cfg = dataclasses.replace(enc, num_blocks=enc.pre_speech_layers)
@@ -304,6 +310,10 @@ class A3TMLMModel(nn.Module):
         )
         speech_hidden = hidden[:, :n_frames]
         before_outs = self.sfc(speech_hidden).astype(jnp.float32)
+        if c.spemb_dim > 0:
+            se = self._norm_spemb(spemb, speech.shape[0])
+            before_outs = before_outs + self.spemb_out(
+                se).astype(jnp.float32)[:, None, :]
         if c.postnet_layers > 0:
             after_outs = before_outs + self.postnet(before_outs, train)
         else:
@@ -362,6 +372,9 @@ class A3TMLMModel(nn.Module):
         )
         speech_hidden = hidden[:, :out_frames]
         before_outs = self.sfc(speech_hidden).astype(jnp.float32)
+        if c.spemb_dim > 0:
+            before_outs = before_outs + self.spemb_out(
+                se).astype(jnp.float32)[:, None, :]
         after_outs = None
         if c.postnet_layers > 0:
             after_outs = before_outs + self.postnet(before_outs, train)

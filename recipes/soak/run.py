@@ -222,7 +222,7 @@ def stage4_train(args, records_dir, eval_dir, workdir, exp,
         "batcher": {"batch_bins": args.batch_bins,
                     "bucket_frames": [192, 256, 320, 448],
                     "mlm_prob": 0.8, "mean_phn_span": 8.0,
-                    "mlm_prob_factor": 0.8,
+                    "mlm_prob_factor": args.mlm_prob_factor,
                     # HBM-resident corpus: host ships offsets, the step
                     # gathers audio on device — on the thin remote-tunnel
                     # link per-step transfer otherwise bounds throughput
@@ -491,6 +491,10 @@ def main():
                     help="params-only orbax dir (bin/export_params stash) "
                          "to warm-start from when no resume ckpt exists")
     ap.add_argument("--batch-bins", type=int, default=3000000)
+    ap.add_argument("--mlm-prob-factor", type=float, default=0.8,
+                    help="training-time multiplier on mlm_prob (1.0 = the "
+                         "reference's full 0.8 masking; scarcer context "
+                         "strengthens the speaker-conditioning gradient)")
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
     ap.add_argument("--spemb", action="store_true",
                     help="condition the MLM on per-speaker x-vectors "
