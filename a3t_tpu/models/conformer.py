@@ -56,6 +56,9 @@ class EncoderConfig:
     # lower the conv module's depthwise conv as k shifted multiply-adds
     # (identical params/numerics, see _ShiftedDepthwiseConv1d)
     cnn_module_shifted: bool = False
+    # run the conv module's BatchNorm in the compute dtype instead of the
+    # fp32 round trip (bench knob; fp32 is the shipped default)
+    cnn_module_bn_compute_dtype: bool = False
     positionwise_conv_kernel_size: int = 3
     activation_type: str = "swish"
     # "legacy_rel_selfattn" (the trained A3T path, see tasks/mlm.py:366-392)
@@ -227,7 +230,9 @@ class ConformerBlock(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
             h = ConvolutionModule(
                 c.cnn_module_kernel, c.activation_type, dtype=c.dtype,
-                shifted=c.cnn_module_shifted, name="conv_module",
+                shifted=c.cnn_module_shifted,
+                bn_compute_dtype=c.cnn_module_bn_compute_dtype,
+                name="conv_module",
             )(h, train)
             x = x + drop(h, deterministic=det)
 

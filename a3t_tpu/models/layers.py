@@ -187,6 +187,10 @@ class ConvolutionModule(nn.Module):
     # lower the depthwise conv as k shifted multiply-adds (identical
     # params/numerics, see _ShiftedDepthwiseConv1d)
     shifted: bool = False
+    # keep the BatchNorm computation in the compute dtype instead of the
+    # default fp32 round trip (a bench knob: sizes the cast+reduce cost;
+    # fp32 stays the shipped default for statistics stability)
+    bn_compute_dtype: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -209,12 +213,18 @@ class ConvolutionModule(nn.Module):
                 dtype=self.dtype,
                 name="Conv_1",
             )(h)
-        # BatchNorm statistics stay float32 for stability
-        h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
-        )(h.astype(jnp.float32))
-        if self.dtype is not None:
-            h = h.astype(self.dtype)
+        if self.bn_compute_dtype and self.dtype is not None:
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype,
+            )(h)
+        else:
+            # BatchNorm statistics stay float32 for stability
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(h.astype(jnp.float32))
+            if self.dtype is not None:
+                h = h.astype(self.dtype)
         h = ACTIVATIONS[self.activation](h)
         return nn.Conv(d, (1,), kernel_init=xavier(), bias_init=zeros,
                        dtype=self.dtype, name="Conv_2")(h)

@@ -85,6 +85,11 @@ def build(variant: str):
         # whether the MXU matmul path beats XLA's conv lowering)
         enc_kw["positionwise_layer_type"] = "conv1d_shifted"
         dec_kw["positionwise_layer_type"] = "conv1d_shifted"
+    if variant == "bn_bf16":
+        # conv-module BatchNorm in bf16 (sizes the fp32 cast+reduce share
+        # of the ~23 ms conv-module cost)
+        enc_kw["cnn_module_bn_compute_dtype"] = True
+        dec_kw["cnn_module_bn_compute_dtype"] = True
     if variant == "shifted_conv":
         # depthwise conv as k shifted multiply-adds (identical numerics;
         # tests whether the VPU broadcast path beats XLA's grouped-conv
