@@ -372,6 +372,7 @@ def load_vocoder(out_dir: str) -> Callable[[np.ndarray], np.ndarray]:
     baked into the checkpoint).  Pads the frame axis to a multiple of 64 so
     repeated calls share a handful of compiled shapes.
     """
+    out_dir = os.path.abspath(out_dir)  # orbax requires absolute paths
     with open(os.path.join(out_dir, "vocoder.json")) as f:
         meta = json.load(f)
     gcfg = PWGConfig(**{k: tuple(v) if isinstance(v, list) else v

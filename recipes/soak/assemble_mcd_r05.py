@@ -83,7 +83,15 @@ def main():
             "trained on per-utterance embeddings, evaluated with "
             "leak-free context-only extraction. Full story: "
             "docs/QUALITY.md."),
-        "unconditioned_curve_r4": curve(w, "curve_e"),
+        "unconditioned_curve_r4": curve(w, "curve_e") or {
+            "note": ("raw curve_e*.json points were lost in a session "
+                     "wipe; committed summary (docs/QUALITY.md): MCD "
+                     "~13.1 dB @ e11 -> 12.13 seen / 11.46 unseen @ e96 "
+                     "vs 6.54/6.35 vocoder ceiling, flat e6-e128 on the "
+                     "8-23-phone eval mix (the speaker-ambiguity "
+                     "plateau diagnosed below)")},
+        "unconditioned_stash_eval": summarize(
+            load(os.path.join(w, "uncond_stash_eval.json"))),
         "conditioned_curve_r5": curve(w, "exp_spemb_curve_e"),
         "length_composition_control": summarize(
             load(os.path.join(w, "ctrl_long_eval.json"))),

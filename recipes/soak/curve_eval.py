@@ -34,7 +34,14 @@ def main() -> None:
     ap.add_argument("--eval-utts", type=int, default=8)
     ap.add_argument("--device", default="cpu",
                     help="jax platform ('cpu' to coexist with a live "
-                         "TPU training run)")
+                         "TPU training run; '' = default backend)")
+    # length-composition control (docs/QUALITY.md): restrict the eval to
+    # utterances whose phone count falls in [min,max] — the reference's
+    # VCTK protocol only ever measures the long regime
+    ap.add_argument("--min-phones", type=int, default=0)
+    ap.add_argument("--max-phones", type=int, default=0)
+    ap.add_argument("--out", default="",
+                    help="override the output json path")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +99,14 @@ def main() -> None:
                               spemb_fn=spemb_fn)
         ds = A3TDataset(split_dir, conv)
         aligner = FileAlignmentSource(split_dir)
-        uids = ds.uids[: args.eval_utts] if args.eval_utts else ds.uids
+        uids = ds.uids
+        if args.min_phones or args.max_phones:
+            lo = args.min_phones or 0
+            hi = args.max_phones or 10**9
+            uids = [u for u in uids
+                    if lo <= len(texts[u].split()) <= hi]
+        if args.eval_utts:
+            uids = uids[: args.eval_utts]
         out_dir = os.path.join(w, "mcd_out", args.exp_name,
                                f"curve_e{args.epoch}", split)
         result = run_gate(editor, texts, ds, aligner, uids, out_dir,
@@ -104,7 +118,7 @@ def main() -> None:
               f"{result['vocoder_ceiling_mcd']:.2f} dB)", flush=True)
 
     tag = "" if args.exp_name == "exp" else f"{args.exp_name}_"
-    out = os.path.join(w, f"{tag}curve_e{args.epoch}.json")
+    out = args.out or os.path.join(w, f"{tag}curve_e{args.epoch}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out}", flush=True)
