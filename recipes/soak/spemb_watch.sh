@@ -25,6 +25,9 @@ snapshot() {
   for d in "$W/$EXP"/checkpoints/epoch_*; do
     [ -d "$d" ] || continue
     n=$(basename "$d"); n=${n#epoch_}
+    # the glob also matches in-flight epoch_N.orbax-checkpoint-tmp dirs;
+    # a non-numeric n would be a fatal arithmetic error in non-interactive bash
+    case $n in (*[!0-9]*|'') continue;; esac
     [ $((n % EVERY)) -eq 0 ] || continue
     dst="$SNAP/checkpoints/epoch_$n"
     [ -d "$dst" ] && continue
