@@ -121,8 +121,13 @@ def build_editor(args):
 
 
 def run_gate(editor, texts, dataset, alignments, uids, out: str,
-             mcd_config=None) -> dict:
-    """Decode + split-save + MCD for a uid list; returns the report."""
+             mcd_config=None, spembs=None) -> dict:
+    """Decode + split-save + MCD for a uid list; returns the report.
+
+    ``spembs`` (optional ``{uid: (E,) float32}``) supplies explicit
+    speaker embeddings — the reference's spk2xvector.ark lookup
+    (sedit_inference.py:203-210) — instead of the editor's context-only
+    extractor; uids absent from the dict fall back to the extractor."""
     from a3t_tpu.eval.mcd import MCDConfig, mcd_between_waveforms
 
     fs = editor.fe.config.fs
@@ -137,7 +142,8 @@ def run_gate(editor, texts, dataset, alignments, uids, out: str,
         text = texts[uid]
         masked = protocol_mask(text)
         res = editor.edit(wav, alignments(uid), text, masked,
-                          mask_reconstruct=mask_reconstruct)
+                          mask_reconstruct=mask_reconstruct,
+                          spemb=None if spembs is None else spembs.get(uid))
         s_new, e_new = res.new_span_boundary
         s_old, e_old = res.old_span_boundary
         save_splits(res.prediction, s_new * hop, e_new * hop, out, "sedit",

@@ -454,9 +454,15 @@ class SpeechEditor:
     def _build_inputs(
         self, wav: np.ndarray, phones: list[str],
         start_sec, end_sec, span_boundary: list[int],
+        spemb: Optional[np.ndarray] = None,
     ) -> dict:
         """Bucket-padded model inputs for one utterance (the inference half
-        of the reference collate fn with explicit span_boundary)."""
+        of the reference collate fn with explicit span_boundary).
+
+        ``spemb`` overrides the context-extracted x-vector with an explicit
+        embedding — the reference's spk2xvector.ark lookup path
+        (sedit_inference.py:203-210), where the speaker's averaged training
+        x-vector is used instead of one computed from the edited audio."""
         c = self.fe.config
         hop = c.hop_length
         n_f = 1 + len(wav) // hop
@@ -496,23 +502,27 @@ class SpeechEditor:
             speech_segment_pos=jnp.asarray(ssp[None]),
             text_segment_pos=jnp.asarray(tsp[None]),
         )
-        if getattr(self.model.config, "spemb_dim", 0) > 0 \
-                and self.spemb_fn is not None:
-            se = self.spemb_fn(audio, speech_mask & ~masked)
-            out["spemb"] = jnp.asarray(
-                np.asarray(se, np.float32)[None])
+        if getattr(self.model.config, "spemb_dim", 0) > 0:
+            if spemb is not None:
+                out["spemb"] = jnp.asarray(
+                    np.asarray(spemb, np.float32)[None])
+            elif self.spemb_fn is not None:
+                se = self.spemb_fn(audio, speech_mask & ~masked)
+                out["spemb"] = jnp.asarray(
+                    np.asarray(se, np.float32)[None])
         return out
 
     def _reconstruct(
         self, wav: np.ndarray, phones: list[str],
         start_sec, end_sec, span_boundary: list[int],
+        spemb: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Teacher-forced masked reconstruction of the span; returns the
         full mel with the generated span spliced in (ref decode_with_model
         :612-636 + sedit_model.inference :271-284)."""
         n_f = 1 + len(wav) // self.fe.config.hop_length
         inputs = self._build_inputs(wav, phones, start_sec, end_sec,
-                                    span_boundary)
+                                    span_boundary, spemb=spemb)
         feats = inputs["speech"]
         before, after, _ = self._jit_forward(self.variables, **inputs)
         gen = np.asarray(after if after is not None else before)[0]
@@ -530,6 +540,7 @@ class SpeechEditor:
         new_str: str,
         duration_adjust: bool = True,
         mask_reconstruct: bool = False,
+        spemb: Optional[np.ndarray] = None,
     ) -> EditResult:
         """Replace/regenerate a span of ``wav`` so it says ``new_str``."""
         hop = self.fe.config.hop_length
@@ -538,7 +549,8 @@ class SpeechEditor:
             duration_adjust=duration_adjust,
             mask_reconstruct=mask_reconstruct)
 
-        mel_edited = self._reconstruct(new_wav, phones, n_start, n_end, new_b)
+        mel_edited = self._reconstruct(new_wav, phones, n_start, n_end, new_b,
+                                       spemb=spemb)
         mel_original = self.mel(wav)
 
         replaced_wav = self._vocode(mel_edited)
@@ -562,12 +574,13 @@ class SpeechEditor:
     def reconstruct_masked_span(
         self, wav: np.ndarray, alignment: UtteranceAlignment,
         old_str: str, masked_str: str,
+        spemb: Optional[np.ndarray] = None,
     ) -> EditResult:
         """MCD-protocol reconstruction: mask the span marked [MASK] in
         ``masked_str`` and regenerate it teacher-forced (ref decode_for_mcd
         :639-671)."""
         return self.edit(wav, alignment, old_str, masked_str,
-                         mask_reconstruct=True)
+                         mask_reconstruct=True, spemb=spemb)
 
     def prompt_tts(
         self,

@@ -42,6 +42,15 @@ def main() -> None:
     ap.add_argument("--max-phones", type=int, default=0)
     ap.add_argument("--out", default="",
                     help="override the output json path")
+    ap.add_argument("--spemb-source", default="context",
+                    choices=("context", "speaker"),
+                    help="x-vector fed to a spemb model at eval: 'context' "
+                         "= leak-free context-only extraction from the "
+                         "edited audio; 'speaker' = the speaker's averaged "
+                         "training x-vector (the reference's spk2xvector "
+                         "lookup, sedit_inference.py:203-210) — unseen "
+                         "speakers have no training average and fall back "
+                         "to context extraction")
     args = ap.parse_args()
 
     import jax
@@ -87,8 +96,18 @@ def main() -> None:
         spemb_fn = make_spemb_extractor(
             os.path.join(w, "exp_xvector"), LogMelFrontend(cfg.frontend))
 
+    spk2xv = None
+    if spemb_fn is not None and args.spemb_source == "speaker":
+        import numpy as np
+
+        xv_path = os.path.join(w, "exp_xvector", "spk2xvector.npz")
+        spk2xv = {k: np.asarray(v, np.float32)
+                  for k, v in np.load(xv_path).items()}
+
     report = {"checkpoint": f"epoch_{args.epoch}",
               "vocoder": args.vocoder or "griffin-lim"}
+    if spemb_fn is not None:
+        report["spemb_source"] = args.spemb_source
     for split in ("eval_seen", "eval_unseen"):
         split_dir = os.path.join(w, "data", split)
         texts = read_2column_text(os.path.join(split_dir, "text"))
@@ -107,10 +126,15 @@ def main() -> None:
                     if lo <= len(texts[u].split()) <= hi]
         if args.eval_utts:
             uids = uids[: args.eval_utts]
+        spembs = None
+        if spk2xv is not None:
+            utt2spk = read_2column_text(os.path.join(split_dir, "utt2spk"))
+            spembs = {u: spk2xv[utt2spk[u]] for u in uids
+                      if utt2spk.get(u) in spk2xv}
         out_dir = os.path.join(w, "mcd_out", args.exp_name,
                                f"curve_e{args.epoch}", split)
         result = run_gate(editor, texts, ds, aligner, uids, out_dir,
-                          mcd_config=mcd_cfg)
+                          mcd_config=mcd_cfg, spembs=spembs)
         key = split.replace("eval_", "")
         report[key] = result
         print(f"   MCD [{key}] e{args.epoch} over {result['n']} utts: "

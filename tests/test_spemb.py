@@ -223,3 +223,54 @@ def test_editor_extracts_context_only_spemb(tmp_path, rng):
     s, e = res.new_span_boundary
     assert not ctx[s:e].any(), "masked span leaked into x-vector pooling"
     assert ctx[:s].any(), "no context frames pooled"
+
+
+def test_editor_explicit_spemb_overrides_extractor(tmp_path, rng):
+    """An explicit spemb (the reference's spk2xvector lookup,
+    sedit_inference.py:203-210) must bypass the context extractor."""
+    from a3t_tpu.data.dataset import A3TDataset
+    from a3t_tpu.data.fileio import read_2column_text
+    from a3t_tpu.dsp import LogMelConfig
+    from a3t_tpu.inference import FileAlignmentSource, SpeechEditor
+    from a3t_tpu.text import TokenIDConverter, build_token_list
+
+    corpus = generate_mini_corpus(str(tmp_path / "d"), n_utts=2, fs=8000)
+    texts = read_2column_text(os.path.join(corpus, "text"))
+    conv = TokenIDConverter(build_token_list(texts.values()))
+    ds = A3TDataset(corpus, conv)
+    aligner = FileAlignmentSource(corpus)
+
+    cfg = dataclasses.replace(_tiny_cfg(spemb_dim=5), odim=20,
+                              vocab_size=len(conv))
+    model = A3TMLMModel(cfg)
+    inputs = _tiny_inputs(rng)
+    inputs["speech"] = jnp.zeros((2, 12, 20))
+    variables = model.init(jax.random.PRNGKey(0), **inputs)
+
+    calls = []
+
+    def spemb_fn(audio, ctx_mask):
+        calls.append(1)
+        return np.ones(5, np.float32)
+
+    fe = LogMelConfig(fs=8000, n_fft=256, hop_length=80, win_length=240,
+                      n_mels=20)
+    editor = SpeechEditor(model, variables, fe, conv,
+                          lexicon={p.upper(): [p] for t in texts.values()
+                                   for p in t.split()},
+                          spemb_fn=spemb_fn)
+    uid = ds.uids[0]
+    words = texts[uid].split()
+    masked = " ".join([words[0], "[MASK]"] + words[3:])
+    xv = np.full(5, 0.3, np.float32)
+    res = editor.reconstruct_masked_span(
+        ds[uid]["audio"], aligner(uid), texts[uid], masked, spemb=xv)
+    assert not calls, "explicit spemb must bypass the extractor"
+    assert res.prediction.size > 0
+    # distinct embeddings must change the generated span (conditioning
+    # actually reaches the network, not just the input dict)
+    res2 = editor.reconstruct_masked_span(
+        ds[uid]["audio"], aligner(uid), texts[uid], masked,
+        spemb=np.full(5, -0.9, np.float32))
+    s, e = res.new_span_boundary
+    assert not np.allclose(res.mel_edited[s:e], res2.mel_edited[s:e])
