@@ -20,6 +20,8 @@ import os
 import shutil
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
@@ -98,8 +100,6 @@ def main() -> None:
 
     spk2xv = None
     if spemb_fn is not None and args.spemb_source == "speaker":
-        import numpy as np
-
         xv_path = os.path.join(w, "exp_xvector", "spk2xvector.npz")
         spk2xv = {k: np.asarray(v, np.float32)
                   for k, v in np.load(xv_path).items()}
@@ -129,8 +129,29 @@ def main() -> None:
         spembs = None
         if spk2xv is not None:
             utt2spk = read_2column_text(os.path.join(split_dir, "utt2spk"))
-            spembs = {u: spk2xv[utt2spk[u]] for u in uids
-                      if utt2spk.get(u) in spk2xv}
+            if split == "eval_seen":
+                spembs = {u: spk2xv[utt2spk[u]] for u in uids
+                          if utt2spk.get(u) in spk2xv}
+            else:
+                # the unseen split's voices are brand new (speaker_seed=99,
+                # run.py stage1) but its utt2spk REUSES the training label
+                # names, so the npz lookup would fetch the wrong voice.
+                # Build leave-one-out within-split speaker averages instead
+                # — the reference's spk2xvector likewise averages the eval
+                # speakers' own utterances (generate_spk2xv over the dump).
+                from a3t_tpu.models.xvector import (build_utt2xvector,
+                                                    load_xvector)
+                from a3t_tpu.dsp import LogMelFrontend
+
+                xvm, xvv, mvn = load_xvector(os.path.join(w, "exp_xvector"))
+                u2x = build_utt2xvector(
+                    xvm, xvv, LogMelFrontend(cfg.frontend), ds, mel_mvn=mvn)
+                spembs = {}
+                for u in uids:
+                    others = [o for o in ds.uids
+                              if o != u and utt2spk.get(o) == utt2spk.get(u)]
+                    if others:
+                        spembs[u] = np.mean([u2x[o] for o in others], axis=0)
         out_dir = os.path.join(w, "mcd_out", args.exp_name,
                                f"curve_e{args.epoch}", split)
         result = run_gate(editor, texts, ds, aligner, uids, out_dir,
