@@ -28,7 +28,8 @@ def load(path):
 def summarize(rep, keys=("seen", "unseen", "long_seen", "long_unseen")):
     if rep is None:
         return None
-    out = {k: rep[k] for k in ("checkpoint", "vocoder") if k in rep}
+    out = {k: rep[k] for k in ("checkpoint", "vocoder", "spemb_source")
+           if k in rep}
     for split in keys:
         if split in rep and isinstance(rep[split], dict):
             r = rep[split]
@@ -93,8 +94,35 @@ def main():
         "unconditioned_stash_eval": summarize(
             load(os.path.join(w, "uncond_stash_eval.json"))),
         "conditioned_curve_r5": curve(w, "exp_spemb_curve_e"),
+        "spemb_ablation_e16": {
+            "what": ("same 8+8 utts, same checkpoint (epoch 16), four "
+                     "embedding sources — measures whether the "
+                     "conditioning pathway is causally used"),
+            "context": summarize(
+                load(os.path.join(w, "exp_spemb_curve_e16.json"))),
+            "speaker_average": summarize(
+                load(os.path.join(w, "exp_spemb_e16_spkavg.json"))),
+            "zero": summarize(
+                load(os.path.join(w, "exp_spemb_e16_zero.json"))),
+            "wrong_speaker": summarize(
+                load(os.path.join(w, "exp_spemb_e16_shuffle.json"))),
+        },
+        "short_context_control": {
+            "what": ("<=12-phone utterances (n<=24/split) — the regime "
+                     "the round-4 diagnosis identified as "
+                     "speaker-ambiguous and round-5 conditioning "
+                     "targets"),
+            "unconditioned": summarize(
+                load(os.path.join(w, "ctrl_short_uncond.json"))),
+            "conditioned_context_xv": summarize(
+                load(os.path.join(w, "ctrl_short_spemb_ctx.json"))),
+            "conditioned_speaker_xv": summarize(
+                load(os.path.join(w, "ctrl_short_spemb_spk.json"))),
+        },
         "length_composition_control": summarize(
             load(os.path.join(w, "ctrl_long_eval.json"))),
+        "length_composition_control_conditioned": summarize(
+            load(os.path.join(w, "ctrl_long_spemb.json"))),
         "final_sweep": {
             f[len("sweep_spemb_"):-len(".json")]: summarize(load(
                 os.path.join(w, f)))

@@ -45,14 +45,17 @@ def main() -> None:
     ap.add_argument("--out", default="",
                     help="override the output json path")
     ap.add_argument("--spemb-source", default="context",
-                    choices=("context", "speaker"),
+                    choices=("context", "speaker", "zero", "shuffle"),
                     help="x-vector fed to a spemb model at eval: 'context' "
                          "= leak-free context-only extraction from the "
                          "edited audio; 'speaker' = the speaker's averaged "
                          "training x-vector (the reference's spk2xvector "
                          "lookup, sedit_inference.py:203-210) — unseen "
                          "speakers have no training average and fall back "
-                         "to context extraction")
+                         "to context extraction; 'zero'/'shuffle' are "
+                         "ablations (no embedding / a rotated wrong-speaker "
+                         "assignment) that measure whether the conditioning "
+                         "pathway is causally used")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +102,7 @@ def main() -> None:
             os.path.join(w, "exp_xvector"), LogMelFrontend(cfg.frontend))
 
     spk2xv = None
-    if spemb_fn is not None and args.spemb_source == "speaker":
+    if spemb_fn is not None and args.spemb_source in ("speaker", "shuffle"):
         xv_path = os.path.join(w, "exp_xvector", "spk2xvector.npz")
         spk2xv = {k: np.asarray(v, np.float32)
                   for k, v in np.load(xv_path).items()}
@@ -127,6 +130,9 @@ def main() -> None:
         if args.eval_utts:
             uids = uids[: args.eval_utts]
         spembs = None
+        if spemb_fn is not None and args.spemb_source == "zero":
+            dim = int(cfg.model.spemb_dim)
+            spembs = {u: np.zeros(dim, np.float32) for u in uids}
         if spk2xv is not None:
             utt2spk = read_2column_text(os.path.join(split_dir, "utt2spk"))
             if split == "eval_seen":
@@ -152,6 +158,19 @@ def main() -> None:
                               if o != u and utt2spk.get(o) == utt2spk.get(u)]
                     if others:
                         spembs[u] = np.mean([u2x[o] for o in others], axis=0)
+            if args.spemb_source == "shuffle":
+                # wrong-speaker ablation: rotate the embeddings among the
+                # eval uids so every utterance is conditioned on a
+                # DIFFERENT speaker's average
+                us = [u for u in uids if u in spembs]
+                vals = [spembs[u] for u in us]
+                n = len(us)
+                for i, u in enumerate(us):
+                    j = (i + 1) % n
+                    while (utt2spk.get(us[j]) == utt2spk.get(u)
+                           and j != i):
+                        j = (j + 1) % n
+                    spembs[u] = vals[j]
         out_dir = os.path.join(w, "mcd_out", args.exp_name,
                                f"curve_e{args.epoch}", split)
         result = run_gate(editor, texts, ds, aligner, uids, out_dir,
