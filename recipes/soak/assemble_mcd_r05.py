@@ -118,6 +118,17 @@ def main():
                 load(os.path.join(w, "ctrl_short_spemb_ctx.json"))),
             "conditioned_speaker_xv": summarize(
                 load(os.path.join(w, "ctrl_short_spemb_spk.json"))),
+            "conditioned_ave5_speaker_xv": summarize(
+                load(os.path.join(w, "ctrl_short_spemb_ave5_spk.json"))),
+        },
+        "averaged_5best": {
+            "what": ("reference-protocol ave_5best (epochs 4/5/7/10/11 "
+                     "by valid loss, average_nbest_models.py analogue) "
+                     "on the same 8+8 utts"),
+            "speaker_average": summarize(
+                load(os.path.join(w, "sweep_spemb_ave5_speaker.json"))),
+            "context": summarize(
+                load(os.path.join(w, "sweep_spemb_ave5_context.json"))),
         },
         "length_composition_control": summarize(
             load(os.path.join(w, "ctrl_long_eval.json"))),

@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--exp-name", default="exp",
                     help="experiment dir name under the workdir")
     ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--ckpt-name", default="",
+                    help="evaluate a named checkpoint (e.g. ave_5best) "
+                         "already present in the snapshot dir instead of "
+                         "an epoch_N dir; --epoch then only tags outputs")
     ap.add_argument("--vocoder", default="",
                     help="trained vocoder dir; empty = Griffin-Lim")
     ap.add_argument("--eval-utts", type=int, default=8)
@@ -75,15 +79,22 @@ def main() -> None:
     snap = os.path.join(w, f"curve_ckpts_{args.exp_name}"
                         if args.exp_name != "exp" else "curve_ckpts")
     os.makedirs(os.path.join(snap, "checkpoints"), exist_ok=True)
-    dst = os.path.join(snap, "checkpoints", f"epoch_{args.epoch}")
-    if not os.path.exists(dst):
-        src = os.path.join(exp, "checkpoints", f"epoch_{args.epoch}")
-        shutil.copytree(src, dst)
+    if args.ckpt_name:
+        dst = os.path.join(snap, "checkpoints", args.ckpt_name)
+        if not os.path.exists(dst):
+            shutil.copytree(os.path.join(exp, "checkpoints",
+                                         args.ckpt_name), dst)
+    else:
+        dst = os.path.join(snap, "checkpoints", f"epoch_{args.epoch}")
+        if not os.path.exists(dst):
+            src = os.path.join(exp, "checkpoints", f"epoch_{args.epoch}")
+            shutil.copytree(src, dst)
     for name in ("config.yaml", "tokens.txt"):
         shutil.copy(os.path.join(exp, name), os.path.join(snap, name))
 
     model, variables, cfg, conv = MLMTask.build_model_from_dir(
-        snap, which=str(args.epoch))
+        snap, which="ave" if args.ckpt_name.startswith("ave")
+        else str(args.epoch))
     mcd_cfg = MCDConfig(shiftms=1000.0 * cfg.frontend.hop_length
                         / cfg.frontend.fs)
 
@@ -107,7 +118,7 @@ def main() -> None:
         spk2xv = {k: np.asarray(v, np.float32)
                   for k, v in np.load(xv_path).items()}
 
-    report = {"checkpoint": f"epoch_{args.epoch}",
+    report = {"checkpoint": args.ckpt_name or f"epoch_{args.epoch}",
               "vocoder": args.vocoder or "griffin-lim"}
     if spemb_fn is not None:
         report["spemb_source"] = args.spemb_source
