@@ -328,6 +328,11 @@ def mcd_between_waveforms(
     wav_cvt: np.ndarray, wav_gt: np.ndarray, fs: int,
     config: MCDConfig = MCDConfig(),
 ) -> float:
+    # A degenerate edit (e.g. the middle-third mask of a 1-2-token
+    # utterance) can yield a zero-length replaced span; score it NaN so
+    # protocol means skip it, matching mcd_from_mceps' empty-frame path.
+    if len(wav_cvt) == 0 or len(wav_gt) == 0:
+        return float("nan")
     mc_c, pw_c = mcep_from_wav(wav_cvt, fs, config)
     mc_g, pw_g = mcep_from_wav(wav_gt, fs, config)
     return mcd_from_mceps(mc_c, pw_c, mc_g, pw_g, config.power_threshold_db)

@@ -146,6 +146,14 @@ def test_mcep_shapes_and_stability(rng):
     assert np.isfinite(mc).all()
 
 
+def test_empty_span_scores_nan(rng):
+    """A zero-length replaced span (degenerate protocol mask on a 1-2
+    token utterance) must score NaN, not crash the filter chain."""
+    wav = _tone(220) + 0.01 * rng.standard_normal(8000)
+    assert np.isnan(mcd_between_waveforms(wav[:0], wav, 16000, CFG))
+    assert np.isnan(mcd_between_waveforms(wav, wav[:0], 16000, CFG))
+
+
 def test_dtw_identical_sequences_diagonal(rng):
     x = rng.standard_normal((20, 4))
     pi, pj = dtw_path(x, x)
