@@ -212,10 +212,7 @@ def diff_phone_spans(
             suffix = phones + suffix
             continue
         edit_old[1] = n_old - len(suffix)
-        # NB: when new_tail == 0 the slice stop is 0, i.e. an *empty*
-        # middle — the reference slices with a non-positive right_index
-        # (ref :494) and relies on the widening below; keep that.
-        middle = new_phns_all[new_consumed: -new_tail if new_tail else 0]
+        middle = new_phns_all[new_consumed: n_new - new_tail]
         edit_new[1] = len(prefix) + len(middle)
         if not middle:
             # Texts differ but the word-level diff collapsed (e.g. a

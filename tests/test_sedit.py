@@ -95,6 +95,19 @@ def test_diff_with_silence_words():
                         + ["sp"] + LEX["WORLD"])
 
 
+def test_diff_full_utterance_mask():
+    # the whole text replaced by a single [MASK] (a 1-2 token utterance
+    # under the middle-third protocol): the middle must be the mask
+    # phone, not an empty list (regression: the right-pass slice used a
+    # stop of 0 when no suffix matched, dropping the whole new text)
+    align = _align_for(["hello", "world"])
+    new_phns, rep, add = diff_phone_spans(
+        align, "hello world", "[MASK]", LEX)
+    assert new_phns == ["[MASK]"]
+    assert rep == [0, 8]
+    assert add == [0, 1]
+
+
 def test_diff_same_length_word_swap_widens_if_middle_empty():
     # swapping a word for one with identical phones except position can
     # produce an empty middle; the spans then widen by one phone each side
