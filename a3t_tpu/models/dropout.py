@@ -40,24 +40,29 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-# Bit-generation backend for the dropout masks.  "threefry" (jax default)
-# is a counter-based PRNG computed on the VPU; "rbg"/"unsafe_rbg" lower to
-# XLA RngBitGenerator, the TPU's hardware generator — the remaining
-# dropout cost is bit throughput (docs/MFU.json sized it ~11 ms/step), so
-# the generator choice is the lever the u8-draw trick left on the table.
+# Bit-generation backend for the dropout masks.  "auto" (default) draws
+# bits with whatever impl the incoming key carries — the production
+# trainer sets jax_default_prng_impl=unsafe_rbg (bin/train.py:32), which
+# lowers to XLA RngBitGenerator, the TPU's hardware generator.
+# "threefry" (the jax default impl) is a counter-based PRNG computed on
+# the VPU and costs +34 ms/step at the bench shape
+# (docs/STEP_BENCH.json threefry_dropout vs prod); "rbg"/"unsafe_rbg"
+# force the hardware path regardless of the key's impl.
 # Reproducibility: bits remain a deterministic function of the (derived)
-# key for both backends; a trained run replays bit-exactly under the SAME
-# impl, but the two impls realize different masks from the same seed.
-_PRNG_IMPL = os.environ.get("A3T_DROPOUT_PRNG", "threefry")
+# key for every backend; a trained run replays bit-exactly under the
+# SAME impl, but different impls realize different masks from one seed.
+_PRNG_IMPL = os.environ.get("A3T_DROPOUT_PRNG", "auto")
 
 
 def set_prng_impl(impl: str) -> None:
-    """Select the mask bit generator ("threefry" | "rbg" | "unsafe_rbg").
+    """Select the mask bit generator
+    ("auto" | "threefry" | "rbg" | "unsafe_rbg").
 
-    Must be called before the train step is traced; benches A/B it.
+    "auto" follows the incoming key's impl (no re-keying).  Must be
+    called before the train step is traced; benches A/B it.
     """
     global _PRNG_IMPL
-    if impl not in ("threefry", "rbg", "unsafe_rbg"):
+    if impl not in ("auto", "threefry", "rbg", "unsafe_rbg"):
         raise ValueError(f"unknown dropout PRNG impl {impl!r}")
     _PRNG_IMPL = impl
 
@@ -77,18 +82,19 @@ _IMPL_SPEC = {"threefry": ("threefry2x32", 2), "rbg": ("rbg", 4),
 
 
 def _keep_mask(key, rate: float, shape):
-    # re-key the incoming stream into the selected generator's state size
-    # (threefry: 2 x u32, rbg variants: 4 x u32); when the key already has
-    # that impl this is the identity, otherwise the derived key keeps
-    # streams distinct per dropout site exactly as before
-    spec, n = _IMPL_SPEC[_PRNG_IMPL]
-    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-        kd = jax.random.key_data(key)
-    else:
-        kd = key  # legacy uint32 key array (flax make_rng / PRNGKey)
-    kd = kd.astype(jnp.uint32).reshape(-1)
-    kd = jnp.tile(kd, n)[:n]
-    key = jax.random.wrap_key_data(kd, impl=spec)
+    if _PRNG_IMPL != "auto":
+        # re-key the incoming stream into the selected generator's state
+        # size (threefry: 2 x u32, rbg variants: 4 x u32); when the key
+        # already has that impl this is the identity, otherwise the
+        # derived key keeps streams distinct per dropout site as before
+        spec, n = _IMPL_SPEC[_PRNG_IMPL]
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            kd = jax.random.key_data(key)
+        else:
+            kd = key  # legacy uint32 key array (flax make_rng / PRNGKey)
+        kd = kd.astype(jnp.uint32).reshape(-1)
+        kd = jnp.tile(kd, n)[:n]
+        key = jax.random.wrap_key_data(kd, impl=spec)
     bits = jax.random.bits(key, shape, jnp.uint8)
     return bits < jnp.uint8(_threshold(rate))
 

@@ -34,6 +34,31 @@ def test_deterministic_per_key():
     assert (a != c).any()
 
 
+def test_auto_impl_follows_the_key():
+    """Default "auto" draws bits with the key's own impl (no re-keying):
+    the production trainer hands unsafe_rbg keys (bin/train.py:32) and
+    must get hardware RngBitGenerator masks, not threefry (+34 ms/step,
+    docs/STEP_BENCH.json threefry_dropout)."""
+    from a3t_tpu.models import dropout as dp
+
+    assert dp._PRNG_IMPL == "auto"
+    x = jnp.ones((256, 256), jnp.float32)
+    key = jax.random.wrap_key_data(
+        jnp.arange(4, dtype=jnp.uint32), impl="unsafe_rbg")
+    auto = np.asarray(seeded_dropout(x, key, 0.5))
+    # forcing unsafe_rbg re-keys through the identity -> same mask;
+    # forcing threefry realizes different bits
+    dp.set_prng_impl("unsafe_rbg")
+    try:
+        forced = np.asarray(seeded_dropout(x, key, 0.5))
+        np.testing.assert_array_equal(auto, forced)
+        dp.set_prng_impl("threefry")
+        tf = np.asarray(seeded_dropout(x, key, 0.5))
+        assert (auto != tf).any()
+    finally:
+        dp.set_prng_impl("auto")
+
+
 def test_backward_regenerates_the_same_mask():
     """grad must be scale where the forward kept, 0 where it dropped."""
     key = jax.random.PRNGKey(3)
