@@ -59,11 +59,13 @@ def main(argv=None):
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(tmp, {"params": params})
     ckpt.wait_until_finished()
-    # ship the token list so the stash is self-contained for fine-tunes
-    # on corpora whose token list extends this one (grow_vocab warm start)
-    tokens_src = os.path.join(args.exp, "tokens.txt")
-    if os.path.exists(tokens_src):
-        shutil.copy(tokens_src, os.path.join(tmp, "tokens.txt"))
+    # ship the token list and model config so the stash is self-contained:
+    # tokens for grow_vocab warm starts on extending corpora, config so the
+    # exact architecture (e.g. spemb_dim) is reconstructible from the stash
+    for name in ("tokens.txt", "config.yaml"):
+        src_f = os.path.join(args.exp, name)
+        if os.path.exists(src_f):
+            shutil.copy(src_f, os.path.join(tmp, name))
     if os.path.exists(out):
         shutil.rmtree(out)
     os.replace(tmp, out)
